@@ -1,0 +1,92 @@
+"""Benchmark: renders + train steps on kodim01 at the reference operating point.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: decode FPS (render of a trained-size model, the reference's
+``decompress_wo_ec`` timing protocol, train_quantize.py:239-247) against the
+reference's published ~2000 FPS (README.md:19). Extras report train-step
+throughput in Mpixels/s (fwd+bwd) per chip.
+
+Runs on whatever platform JAX defaults to (the real TPU chip under the
+driver; CPU if forced).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianimage_plus_tpu.models import GaussianConfig, init_state, render
+    from gaussianimage_plus_tpu.train import TrainConfig, init_train_state, train_chunk
+    from gaussianimage_plus_tpu.utils.image_io import load_image
+
+    kodim01 = "/root/reference/datasets/kodak/kodim01.png"
+    try:
+        gt = load_image(kodim01)
+    except Exception:
+        rng = np.random.default_rng(0)
+        gt = rng.uniform(0, 1, (512, 768, 3)).astype(np.float32)
+    H, W = gt.shape[:2]
+
+    N = 5000
+    cfg = GaussianConfig(H=H, W=W, max_num_points=N, tile_cap=256)
+    tcfg = TrainConfig(iterations=1000, lr=0.018)
+    gt_j = jnp.asarray(gt)
+
+    # ---- decode/render FPS (reference protocol: 1 warmup + 100 timed) ----
+    # Each render depends on the previous output (a zero-valued nudge of the
+    # means) so identical in-flight executions can't be coalesced/deduped by
+    # the runtime — keeps the timing honest.
+    state = init_state(cfg, N, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def render_chained(s, feedback):
+        s = s.replace(params=s.params.replace(xyz=s.params.xyz + feedback))
+        img = render(s, cfg)
+        return img, img[0, 0, 0] * 0.0
+
+    img, fb = jax.block_until_ready(render_chained(state, jnp.zeros(())))
+    n_rend = 100
+    t0 = time.perf_counter()
+    for _ in range(n_rend):
+        img, fb = render_chained(state, fb)
+    jax.block_until_ready(img)
+    dt_render = (time.perf_counter() - t0) / n_rend
+    fps = 1.0 / dt_render
+
+    # ---- train-step throughput (fwd+bwd+adam), chunked like production ----
+    ts = init_train_state(cfg, tcfg, N, seed=0)
+    chunk = 100
+    ts, _ = jax.block_until_ready(train_chunk(ts, gt_j, cfg, tcfg, chunk, True, False))
+    t0 = time.perf_counter()
+    n_chunks = 3
+    for _ in range(n_chunks):
+        ts, _ = train_chunk(ts, gt_j, cfg, tcfg, chunk, True, False)
+    jax.block_until_ready(ts.gaussians.params.xyz)
+    dt_step = (time.perf_counter() - t0) / (n_chunks * chunk)
+    mpix_s = H * W / dt_step / 1e6
+
+    out = {
+        "metric": "decode_fps",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 2000.0, 4),
+        "train_mpixels_per_s": round(mpix_s, 2),
+        "train_step_ms": round(dt_step * 1e3, 3),
+        "render_ms": round(dt_render * 1e3, 3),
+        "platform": jax.default_backend(),
+        "image": f"{W}x{H}",
+        "num_points": N,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

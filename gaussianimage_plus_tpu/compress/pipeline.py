@@ -1,0 +1,298 @@
+"""Quantization-aware fine-tuning + codec: the train_quantize.py capability.
+
+Flow (reference train_quantize.py:118-269 + gaussianimage_covariance.py):
+ 1. warmup phase = plain representation training (prune/grow active);
+ 2. at ``warmup_iter``: restore the best snapshot, rebuild the model optimizer
+    at the schedule's current LR, attach quantizers initialized from the data
+    (_init_data, gaussianimage_covariance.py:148-153);
+ 3. quantization-aware fine-tune through STE quantizers, each quantizer with
+    its own Adam + StepLR(10000, 0.5) (training_setup, :116-146 — note the
+    eps quirk: xy quantizer Adam uses the torch default eps=1e-8, cov/color
+    use eps=1e-15);
+ 4. encode: integer codes per attribute + PSD-prune of points that became
+    invalid after quantization (compress_wo_ec, :412-443);
+ 5. decode = dequantize + render (decompress_wo_ec, :445-467), timed for FPS;
+ 6. bpp accounting from bit widths (analysis_wo_ec, :469-509).
+
+All quantizer statistics are computed over ACTIVE rows only (the reference
+operates on dense row arrays; here inactive slots are masked out of min/max).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.gaussian_image import (
+    GaussianConfig,
+    GaussianParams,
+    GaussianState,
+    colors_of,
+    effective_cov2d,
+    render,
+)
+from ..core.gaussian2d import psd_valid_mask
+from ..train.losses import loss_fn
+from ..train.metrics import psnr as psnr_fn
+from .quantizers import (
+    HybridQuantParams,
+    LogQuantState,
+    UniformQuantParams,
+    fake_quantize_half,
+    hybrid_size,
+    log_decompress,
+    ste_round,
+    uniform_qrange,
+)
+
+
+@struct.dataclass
+class QuantConfig:
+    xy_bit: int = struct.field(pytree_node=False, default=12)
+    cov_bit: int = struct.field(pytree_node=False, default=10)
+    color_bit: int = struct.field(pytree_node=False, default=6)
+    xy_quant: str = struct.field(pytree_node=False, default="lsq")    # lsq | fp16
+    cov_quant: str = struct.field(pytree_node=False, default="lsq")   # (hybrid)
+    color_quant: str = struct.field(pytree_node=False, default="lsq") # lsq | vq
+    quant_lr: float = struct.field(pytree_node=False, default=1e-3)
+    quant_lr_step: int = struct.field(pytree_node=False, default=10000)
+    quant_lr_gamma: float = struct.field(pytree_node=False, default=0.5)
+
+
+@struct.dataclass
+class QuantizerBundle:
+    """Learned quantizer parameters + optimizer states."""
+
+    xy: UniformQuantParams
+    cov: HybridQuantParams
+    color: UniformQuantParams
+    xy_opt: Any
+    cov_opt: Any
+    color_opt: Any
+    step: jax.Array  # shared schedule counter (all schedulers step together)
+
+
+def _masked_min_max(x: jax.Array, active: jax.Array):
+    big = jnp.finfo(x.dtype).max
+    m = active[:, None]
+    return (jnp.min(jnp.where(m, x, big), axis=0),
+            jnp.max(jnp.where(m, x, -big), axis=0))
+
+
+def _uniform_init_masked(x, active, bits, signed=False) -> UniformQuantParams:
+    qmin, qmax = uniform_qrange(bits, signed)
+    t_min, t_max = _masked_min_max(x, active)
+    scale = (t_max - t_min) / (qmax - qmin)
+    scale = jnp.where(scale == 0, 1e-8, scale)
+    return UniformQuantParams(scale=scale, beta=t_min - qmin * scale)
+
+
+def _uniform_fwd(params, x, bits, signed=False):
+    qmin, qmax = uniform_qrange(bits, signed)
+    code = jnp.clip((x - params.beta) / params.scale, qmin, qmax)
+    quant = ste_round(code)
+    return quant * params.scale + params.beta, quant
+
+
+def _log_fwd_masked(x, active, bits):
+    """Non-learned log quantizer over active rows only (quantize.py:219-234)."""
+    qmin, qmax = uniform_qrange(bits, signed=False)
+    log_x = jnp.log(jnp.abs(x) + 1e-6)
+    m = active[:, None]
+    big = jnp.finfo(x.dtype).max
+    beta = jnp.min(jnp.where(m, log_x, big))
+    max_log = jnp.max(jnp.where(m, log_x, -big))
+    scale = jnp.maximum((max_log - beta) / (qmax - qmin), 1e-12)
+    code = jnp.clip((log_x - beta) / scale, qmin, qmax)
+    quant = ste_round(code)
+    return jnp.exp(quant * scale + beta), quant, LogQuantState(beta=beta, scale=scale)
+
+
+def _adam(lr, step_size, gamma, eps):
+    return optax.adam(learning_rate=lambda c: lr * gamma ** (c // step_size),
+                      b1=0.9, b2=0.999, eps=eps, eps_root=0.0)
+
+
+def make_quantizer_opts(qcfg: QuantConfig):
+    """Per-quantizer Adams (gaussianimage_covariance.py:119-146).
+
+    xy uses torch's default eps=1e-8 (:122); cov and color use eps=1e-15
+    (:131-132, :143-144). All share StepLR(10000, 0.5).
+    """
+    mk = lambda eps: _adam(qcfg.quant_lr, qcfg.quant_lr_step, qcfg.quant_lr_gamma, eps)
+    return mk(1e-8), mk(1e-15), mk(1e-15)
+
+
+def init_quantizers(state: GaussianState, cfg: GaussianConfig,
+                    qcfg: QuantConfig) -> QuantizerBundle:
+    """_init_data (gaussianimage_covariance.py:148-153) on the current state."""
+    active = state.active
+    xy_p = _uniform_init_masked(state.params.xyz, active, qcfg.xy_bit)
+    cov_eff = effective_cov2d(state.params, state.bound, cfg)
+    cov_p = HybridQuantParams(
+        cov=_uniform_init_masked(cov_eff[:, 1:2], active, qcfg.cov_bit))
+    col_p = _uniform_init_masked(colors_of(state.params, cfg), active, qcfg.color_bit)
+    xy_tx, cov_tx, col_tx = make_quantizer_opts(qcfg)
+    return QuantizerBundle(
+        xy=xy_p, cov=cov_p, color=col_p,
+        xy_opt=xy_tx.init(xy_p), cov_opt=cov_tx.init(cov_p),
+        color_opt=col_tx.init(col_p), step=jnp.zeros((), jnp.int32))
+
+
+def quantize_attributes(bundle: QuantizerBundle, state: GaussianState,
+                        cfg: GaussianConfig, qcfg: QuantConfig):
+    """forward_quantize's attribute path (gaussianimage_covariance.py:384-393).
+
+    Returns (means, cov_elements, colors, codes dict, log_state).
+    """
+    if qcfg.xy_quant == "fp16":
+        means = fake_quantize_half(state.params.xyz)
+        code_xy = means
+    else:
+        means, code_xy = _uniform_fwd(bundle.xy, state.params.xyz, qcfg.xy_bit)
+    cov_eff = effective_cov2d(state.params, state.bound, cfg)
+    var_dq, code_var, log_state = _log_fwd_masked(cov_eff[:, ::2], state.active,
+                                                  qcfg.cov_bit)
+    cov_dq, code_cov = _uniform_fwd(bundle.cov.cov, cov_eff[:, 1:2], qcfg.cov_bit)
+    cov_elements = jnp.concatenate(
+        [var_dq[:, 0:1], cov_dq, var_dq[:, 1:2]], axis=1)
+    code_cov3 = jnp.concatenate(
+        [code_var[:, 0:1], code_cov, code_var[:, 1:]], axis=1)
+    colors, code_col = _uniform_fwd(bundle.color, colors_of(state.params, cfg),
+                                    qcfg.color_bit)
+    codes = {"xy": code_xy, "cov": code_cov3, "color": code_col}
+    return means, cov_elements, colors, codes, log_state
+
+
+def render_quantized(bundle: QuantizerBundle, state: GaussianState,
+                     cfg: GaussianConfig, qcfg: QuantConfig):
+    means, cov_elements, colors, codes, log_state = quantize_attributes(
+        bundle, state, cfg, qcfg)
+    img = render(state, cfg, cov_override=cov_elements, means_override=means,
+                 colors_override=colors)
+    return img, codes, log_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "qcfg", "model_lr", "n_steps"))
+def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBundle,
+                      gt: jax.Array, cfg: GaussianConfig, qcfg: QuantConfig,
+                      model_lr: float, n_steps: int):
+    """n quantization-aware steps (train_iter_quantize,
+    gaussianimage_covariance.py:219-247): image loss only (vq_loss computed
+    but never added, :224), model Adam + three quantizer Adams all stepped.
+    """
+    model_tx = _adam(model_lr, 20000, 0.5, 1e-15)
+    xy_tx, cov_tx, col_tx = make_quantizer_opts(qcfg)
+
+    def one_step(carry, _):
+        state, model_opt_state, bundle = carry
+
+        def objective(params, xy_p, cov_p, col_p):
+            b = bundle.replace(xy=xy_p, cov=cov_p, color=col_p)
+            img, _, _ = render_quantized(b, state.replace(params=params), cfg, qcfg)
+            return loss_fn(img, gt, "L2"), img
+
+        grad_fn = jax.value_and_grad(objective, argnums=(0, 1, 2, 3), has_aux=True)
+        (loss, img), (g_model, g_xy, g_cov, g_col) = grad_fn(
+            state.params, bundle.xy, bundle.cov, bundle.color)
+
+        upd, model_opt_state = model_tx.update(g_model, model_opt_state, state.params)
+        upd = jax.tree.map(lambda u: jnp.where(state.active[:, None], u, 0.0), upd)
+        params = optax.apply_updates(state.params, upd)
+
+        upd_xy, xy_opt = xy_tx.update(g_xy, bundle.xy_opt, bundle.xy)
+        xy_p = optax.apply_updates(bundle.xy, upd_xy)
+        upd_cov, cov_opt = cov_tx.update(g_cov, bundle.cov_opt, bundle.cov)
+        cov_p = optax.apply_updates(bundle.cov, upd_cov)
+        upd_col, col_opt = col_tx.update(g_col, bundle.color_opt, bundle.color)
+        col_p = optax.apply_updates(bundle.color, upd_col)
+
+        bundle2 = bundle.replace(xy=xy_p, cov=cov_p, color=col_p,
+                                 xy_opt=xy_opt, cov_opt=cov_opt,
+                                 color_opt=col_opt, step=bundle.step + 1)
+        cur_psnr = psnr_fn(img, gt)
+        return (state.replace(params=params), model_opt_state, bundle2), (loss, cur_psnr)
+
+    (state, model_opt_state, bundle), (losses, psnrs) = jax.lax.scan(
+        one_step, (state, model_opt_state, bundle), None, length=n_steps)
+    return state, model_opt_state, bundle, {"loss": losses, "psnr": psnrs}
+
+
+# --------------------------------------------------------------------------
+# Codec: compress / decompress / bpp analysis
+# --------------------------------------------------------------------------
+
+class Encoding(NamedTuple):
+    """compress_wo_ec output (gaussianimage_covariance.py:442-443)."""
+    means: jax.Array            # dequantized xy [M, 2]
+    quant_means: jax.Array      # integer codes [M, 2]
+    quant_cov: jax.Array        # integer codes [M, 3]
+    color_codes: jax.Array      # integer codes [M, 3] (lsq) or indices (vq)
+    log_state: LogQuantState    # frozen log grid for decode
+    active: jax.Array           # [M] post-quantization validity
+    num_active: jax.Array
+
+
+def compress_wo_ec(bundle: QuantizerBundle, state: GaussianState,
+                   cfg: GaussianConfig, qcfg: QuantConfig) -> Encoding:
+    """Quantize to integer codes; PSD-prune points invalidated by
+    quantization (gaussianimage_covariance.py:412-443)."""
+    means, code_xy = _uniform_fwd(bundle.xy, state.params.xyz, qcfg.xy_bit)
+    cov_eff = effective_cov2d(state.params, state.bound, cfg)
+    var_dq, code_var, log_state = _log_fwd_masked(cov_eff[:, ::2], state.active,
+                                                  qcfg.cov_bit)
+    cov_dq, code_cov = _uniform_fwd(bundle.cov.cov, cov_eff[:, 1:2], qcfg.cov_bit)
+    cov_elements = jnp.concatenate([var_dq[:, 0:1], cov_dq, var_dq[:, 1:2]], axis=1)
+    code_cov3 = jnp.concatenate([code_var[:, 0:1], code_cov, code_var[:, 1:]], axis=1)
+    colors, code_col = _uniform_fwd(bundle.color, colors_of(state.params, cfg),
+                                    qcfg.color_bit)
+    ok = psd_valid_mask(cov_elements)
+    active = state.active & ok
+    return Encoding(means=means, quant_means=code_xy, quant_cov=code_cov3,
+                    color_codes=code_col, log_state=log_state, active=active,
+                    num_active=jnp.sum(active, dtype=jnp.int32))
+
+
+def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
+                     cfg: GaussianConfig, qcfg: QuantConfig) -> jax.Array:
+    """Dequantize codes + one render pass (gaussianimage_covariance.py:445-467).
+
+    This is the decode-FPS path: a single fused jit program.
+    """
+    from .quantizers import uniform_decompress
+
+    means = uniform_decompress(bundle.xy, enc.quant_means)
+    var = log_decompress(enc.log_state, enc.quant_cov[:, ::2])
+    cov_mid = uniform_decompress(bundle.cov.cov, enc.quant_cov[:, 1:2])
+    cov_elements = jnp.concatenate([var[:, 0:1], cov_mid, var[:, 1:2]], axis=1)
+    colors = uniform_decompress(bundle.color, enc.color_codes)
+    dummy = GaussianState(
+        params=GaussianParams(xyz=means, cov2d=cov_elements, features=colors),
+        active=enc.active, bound=bound,
+        num_active=enc.num_active)
+    return render(dummy, cfg, cov_override=cov_elements, means_override=means,
+                  colors_override=colors)
+
+
+def analysis_wo_ec(enc: Encoding, cfg: GaussianConfig, qcfg: QuantConfig) -> dict:
+    """bpp from bit widths (analysis_wo_ec lsq branches,
+    gaussianimage_covariance.py:484-507): each attribute charges
+    codes*bitwidth + 2 fp32 per channel for the quantizer grid."""
+    n = int(enc.num_active)
+    position_bits = n * 2 * qcfg.xy_bit + 32 * 2 * 2
+    cholesky_bits = n * 3 * hybrid_size(qcfg.cov_bit, qcfg.cov_bit) + 32 * 3 * 2
+    feature_bits = n * 3 * qcfg.color_bit + 32 * 3 * 2
+    hw = cfg.H * cfg.W
+    return {
+        "bpp": (position_bits + cholesky_bits + feature_bits) / hw,
+        "position_bpp": position_bits / hw,
+        "cholesky_bpp": cholesky_bits / hw,
+        "feature_dc_bpp": feature_bits / hw,
+        "num_points": n,
+    }

@@ -1,0 +1,131 @@
+"""Compression trainer: warmup -> quantization-aware fine-tune -> codec.
+
+Host-side orchestration mirroring ``SimpleTrainer2d`` of train_quantize.py
+(:21-269): the warmup phase reuses the representation trainer's chunked loop,
+then quantizers attach and the quantized loop runs, tracking the best
+quantized PSNR; finally encode/decode/analysis produce the deliverables
+(decode FPS, bpp, PSNR, MS-SSIM).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussian_image import GaussianConfig, GaussianState, prune
+from ..train.losses import ms_ssim
+from ..train.metrics import psnr as psnr_fn
+from ..train.trainer import (
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    restore_best,
+    train_chunk,
+)
+from .pipeline import (
+    Encoding,
+    QuantConfig,
+    QuantizerBundle,
+    analysis_wo_ec,
+    compress_wo_ec,
+    decompress_wo_ec,
+    init_quantizers,
+    make_quantizer_opts,
+    quant_train_chunk,
+    render_quantized,
+)
+from .quantizers import hybrid_size
+
+
+class QuantFitResult(NamedTuple):
+    state: GaussianState
+    bundle: QuantizerBundle
+    best_psnr: float
+    train_time: float
+    metrics: dict
+
+
+def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
+                        qcfg: QuantConfig, num_points: int,
+                        warmup_iter: int = 6000, seed: int = 3047,
+                        log_every: Optional[int] = None, logger=None) -> QuantFitResult:
+    """Full train_quantize recipe (train_quantize.py:118-237)."""
+    log = (logger.write if logger else print) if log_every else (lambda *_: None)
+    gt = jnp.asarray(gt)
+    chunk = tcfg.prune_iter
+    assert warmup_iter % chunk == 0 and tcfg.iterations % chunk == 0
+
+    # ---- phase 1: representation warmup (prune/grow active) ----
+    ts = init_train_state(cfg, tcfg, num_points, seed)
+    t0 = time.perf_counter()
+    for ci in range(warmup_iter // chunk):
+        it_end = (ci + 1) * chunk
+        do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
+                   and it_end < warmup_iter)
+        final_fill = it_end == warmup_iter - tcfg.grow_iter
+        ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune, do_grow, final_fill)
+        if log_every and it_end % log_every == 0:
+            log(f"warmup {it_end}: psnr {float(m['psnr'][-1]):.3f} "
+                f"best {float(ts.best_psnr):.3f} n {int(ts.gaussians.num_active)}")
+
+    # ---- phase 2: restore best, attach quantizers (train_quantize.py:129-141) ----
+    state = restore_best(ts)
+    # model optimizer restarts fresh at the schedule's decayed LR
+    model_lr = tcfg.lr * tcfg.lr_gamma ** (warmup_iter // tcfg.lr_step_size)
+    from ..train.optim import make_adam
+    model_tx = make_adam(model_lr, tcfg.lr_step_size, tcfg.lr_gamma)
+    model_opt_state = model_tx.init(state.params)
+    bundle = init_quantizers(state, cfg, qcfg)
+
+    best_psnr = -jnp.inf
+    best_state, best_bundle = state, bundle
+    quant_iters = tcfg.iterations - warmup_iter
+    for ci in range(quant_iters // chunk):
+        state, model_opt_state, bundle, m = quant_train_chunk(
+            state, model_opt_state, bundle, gt, cfg, qcfg, model_lr, chunk)
+        cur = float(m["psnr"][-1])
+        if cur > float(best_psnr):
+            best_psnr, best_state, best_bundle = cur, state, bundle
+        it_end = warmup_iter + (ci + 1) * chunk
+        if log_every and it_end % log_every == 0:
+            log(f"quant {it_end}: psnr {cur:.3f} best {float(best_psnr):.3f}")
+    jax.block_until_ready(state.params.xyz)
+    train_time = time.perf_counter() - t0
+
+    # final prune on the unquantized cov (train_quantize.py:179)
+    best_state, _ = prune(best_state, cfg)
+    return QuantFitResult(state=best_state, bundle=best_bundle,
+                          best_psnr=float(best_psnr), train_time=train_time,
+                          metrics={})
+
+
+def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
+                       gt, cfg: GaussianConfig, qcfg: QuantConfig,
+                       n_renders: int = 100) -> dict:
+    """encode() deliverables (train_quantize.py:239-269): codes, decode FPS,
+    bpp decomposition, quantized PSNR / MS-SSIM."""
+    gt = jnp.asarray(gt)
+    compress_jit = jax.jit(
+        lambda s: compress_wo_ec(bundle, s, cfg, qcfg))
+    enc = jax.block_until_ready(compress_jit(res_state))
+
+    decode_jit = jax.jit(
+        lambda e: decompress_wo_ec(bundle, e, res_state.bound, cfg, qcfg))
+    out = jax.block_until_ready(decode_jit(enc))
+    t0 = time.perf_counter()
+    for _ in range(n_renders):
+        out = decode_jit(enc)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_renders
+
+    stats = analysis_wo_ec(enc, cfg, qcfg)
+    stats.update({
+        "psnr": float(psnr_fn(out, gt)),
+        "ms_ssim": float(ms_ssim(out, gt)),
+        "rendering_time": dt,
+        "rendering_fps": 1.0 / dt,
+    })
+    return stats

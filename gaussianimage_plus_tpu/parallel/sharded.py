@@ -1,0 +1,233 @@
+"""Mesh parallelism: batched per-image fitting (DP) and tile-sharded training.
+
+The reference has no distributed machinery at all — a single hardcoded GPU
+(train.py:39) and a sequential Python loop over images (train.py:294-308).
+Every image is an independent optimization problem, which makes the scaling
+story TPU-native by construction:
+
+- **images axis (data parallel)**: stack per-image Gaussian states to
+  [B, M, ...], ``vmap`` the whole train step, shard the batch axis over the
+  mesh. No cross-image communication; thousands of Kodak/DIV2K fits run
+  simultaneously, one Gaussian set per image.
+- **tiles axis (the analog of sequence/context parallelism)**: for single
+  large images, shard the tile grid over devices with Gaussian parameters
+  replicated; each device rasterizes its tile shard and the per-Gaussian
+  parameter gradients are ``psum``-reduced over the axis — the mesh-level
+  equivalent of the reference backward's atomicAdd accumulation
+  (backward.cu:1330-1344), ridden over ICI instead of shared memory.
+
+Both compose: a 2D mesh ('data', 'tile').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.gaussian_image import (
+    GaussianConfig,
+    GaussianParams,
+    GaussianState,
+    colors_of,
+    project,
+)
+from ..core.binning import bin_gaussians
+from ..core.render_tiled import rasterize_tiled
+from ..train.trainer import TrainConfig, TrainState, init_train_state, train_chunk
+
+
+def make_mesh(shape: Tuple[int, ...] = None, axis_names: Tuple[str, ...] = ("data",),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    n = int(np.prod(shape))
+    dev_arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_arr, axis_names)
+
+
+# --------------------------------------------------------------------------
+# Data parallelism over images
+# --------------------------------------------------------------------------
+
+def init_batch_train_state(cfg: GaussianConfig, tcfg: TrainConfig,
+                           num_points: int, batch: int, seed: int = 3047) -> TrainState:
+    """Stacked TrainState with leading batch axis (one Gaussian set per image)."""
+    seeds = jnp.arange(batch) + seed
+    return jax.vmap(lambda s: init_train_state(cfg, tcfg, num_points, s))(seeds)
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "data"):
+    """Place a leading-batch pytree with the batch axis sharded over ``axis``."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "n_steps", "do_prune", "do_grow"))
+def batch_train_chunk(tss: TrainState, gts: jax.Array, cfg: GaussianConfig,
+                      tcfg: TrainConfig, n_steps: int, do_prune: bool,
+                      do_grow: bool, final_fill: bool = False):
+    """vmapped train_chunk over a leading image-batch axis.
+
+    With inputs sharded over a mesh 'data' axis, XLA partitions this into
+    fully independent per-device programs (no collectives).
+    """
+    fn = functools.partial(train_chunk.__wrapped__, cfg=cfg, tcfg=tcfg,
+                           n_steps=n_steps, do_prune=do_prune, do_grow=do_grow,
+                           final_fill=final_fill)
+    return jax.vmap(lambda ts, gt: fn(ts, gt))(tss, gts)
+
+
+def fit_batch(images: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
+              num_points: int, mesh: Optional[Mesh] = None, seed: int = 3047,
+              progress=None):
+    """Fit a batch of same-shaped images in parallel; returns final TrainState.
+
+    Replaces the reference's sequential dataset loop (train.py:294-308).
+    """
+    B = images.shape[0]
+    tss = init_batch_train_state(cfg, tcfg, num_points, B, seed)
+    if mesh is not None:
+        tss = shard_batch(tss, mesh)
+        images = shard_batch(jnp.asarray(images), mesh)
+    chunk = tcfg.prune_iter
+    n_chunks = tcfg.iterations // chunk
+    for ci in range(n_chunks):
+        it_end = (ci + 1) * chunk
+        do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
+                   and it_end < tcfg.iterations)
+        final_fill = it_end == tcfg.iterations - tcfg.grow_iter
+        tss, m = batch_train_chunk(tss, images, cfg, tcfg, chunk,
+                                   tcfg.prune, do_grow, final_fill)
+        if progress is not None:
+            progress(it_end, m)
+    return tss
+
+
+# --------------------------------------------------------------------------
+# Tile-grid sharding for one large image
+# --------------------------------------------------------------------------
+
+def _loss_tile_sharded(params: GaussianParams, state: GaussianState,
+                       gt_tiles: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
+                       axis: str):
+    """Per-shard loss: project (replicated) -> bin/rasterize local tiles ->
+    local SSE, psum to the full-image mean. Differentiating through this
+    shard_map body auto-inserts the gradient psum over ``axis`` for the
+    replicated Gaussian parameters."""
+    from ..core.gaussian2d import tile_bounds_for
+    from ..core.render_tiled import _tiles_to_image  # noqa: F401
+
+    proj = project(params, state.active, state.bound, cfg)
+    # local tile range: shard_map has already split gt_tiles [T_local, P, 3]
+    n_local = gt_tiles.shape[0]
+    shard_idx = jax.lax.axis_index(axis)
+    # bin against local tiles only: shift tile window by recomputing membership
+    # over the full grid then slicing is wasteful; instead bin over the full
+    # grid and slice the local rows (binning is [T, N] — cheap bool work).
+    bins = bin_gaussians(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
+                         block_h=cfg.block_h, block_w=cfg.block_w,
+                         method=cfg.bin_method)
+    start = shard_idx * n_local
+    ids = jax.lax.dynamic_slice_in_dim(bins.ids, start, n_local, 0)
+    mask = jax.lax.dynamic_slice_in_dim(bins.mask, start, n_local, 0)
+
+    # rasterize local tiles directly in tile layout
+    from ..core.render_tiled import _raster_core
+    colors = colors_of(params, cfg)
+    opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)
+    # local tile geometry: reuse core with an offset: build a custom raster
+    (tb_x, tb_y, phi, lmx, lmy, c1, c2, c3, g_op, vis, alpha, contrib,
+     weights) = _raster_core_local(proj.xys, proj.conics, colors, opacity,
+                                   ids, mask, start, cfg)
+    g_col = colors[ids]
+    tiles = jnp.einsum('tpk,tkc->tpc', weights, g_col)
+    tiles = jnp.clip(tiles, 0.0, 1.0)
+    sse = jnp.sum((tiles - gt_tiles) ** 2)
+    total = jax.lax.psum(sse, axis)
+    return total / (cfg.H * cfg.W * 3)
+
+
+def _raster_core_local(xys, conics, colors, opacity, ids, mask, tile_start, cfg):
+    """_raster_core specialized to a contiguous local tile range."""
+    from ..core.render_tiled import _pixel_features, _quad_coeffs
+    from ..core.gaussian2d import tile_bounds_for
+
+    tb_x, tb_y = tile_bounds_for(cfg.H, cfg.W, cfg.block_h, cfg.block_w)
+    n_local = ids.shape[0]
+    P_ = cfg.block_h * cfg.block_w
+    t_idx = tile_start + jnp.arange(n_local, dtype=jnp.int32)
+    tx0 = ((t_idx % tb_x) * cfg.block_w).astype(jnp.float32)
+    ty0 = ((t_idx // tb_x) * cfg.block_h).astype(jnp.float32)
+    ppx = (jnp.arange(P_, dtype=jnp.int32) % cfg.block_w).astype(jnp.float32)
+    ppy = (jnp.arange(P_, dtype=jnp.int32) // cfg.block_w).astype(jnp.float32)
+    g_xy = xys[ids]
+    g_con = conics[ids]
+    g_op = opacity.reshape(-1)[ids]
+    lmx = g_xy[..., 0] - tx0[:, None]
+    lmy = g_xy[..., 1] - ty0[:, None]
+    c1, c2, c3 = g_con[..., 0], g_con[..., 1], g_con[..., 2]
+    w = _quad_coeffs(lmx, lmy, c1, c2, c3)
+    phi = _pixel_features(ppx, ppy)
+    sigma = jnp.einsum('pf,tkf->tpk', phi, w)
+    vis = jnp.exp(-sigma)
+    alpha_raw = g_op[:, None, :] * vis
+    alpha = alpha_raw - jax.lax.stop_gradient(jnp.maximum(alpha_raw - 1.0, 0.0))
+    from ..core.gaussian2d import ALPHA_THRESHOLD
+    contrib = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & mask[:, None, :]
+    weights = jnp.where(contrib, alpha, 0.0)
+    return (tb_x, tb_y, phi, lmx, lmy, c1, c2, c3, g_op, vis, alpha,
+            contrib, weights)
+
+
+def image_to_tile_rows(gt: jax.Array, cfg: GaussianConfig) -> jax.Array:
+    """[H, W, 3] -> [T, P, 3] in the binning's y-major tile order."""
+    from ..core.render_tiled import _image_to_tiles
+    from ..core.gaussian2d import tile_bounds_for
+
+    tb_x, tb_y = tile_bounds_for(cfg.H, cfg.W, cfg.block_h, cfg.block_w)
+    return _image_to_tiles(gt, tb_x, tb_y, cfg.block_h, cfg.block_w)
+
+
+def tile_sharded_train_step(mesh: Mesh, cfg: GaussianConfig, tcfg: TrainConfig,
+                            axis: str = "tile"):
+    """Build a jitted train step whose rasterization is sharded over tiles.
+
+    Gaussian params replicated; gt pre-split into tile rows sharded over
+    ``axis``; grads psum'd automatically by shard_map transposition. L2 loss
+    only (the tile-sharded path is a scale-out of the default recipe).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    tx = optax.adam(learning_rate=lambda c: tcfg.lr * tcfg.lr_gamma ** (c // tcfg.lr_step_size),
+                    eps=1e-15, eps_root=0.0)
+
+    def loss_fn(params, state, gt_tiles):
+        body = functools.partial(_loss_tile_sharded, cfg=cfg, tcfg=tcfg, axis=axis)
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P(), P(), P(axis)),
+                       out_specs=P(),
+                       check_rep=False)
+        return fn(params, state, gt_tiles)
+
+    @jax.jit
+    def step(state: GaussianState, opt_state, gt_tiles):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, state, gt_tiles))(state.params)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        updates = jax.tree.map(
+            lambda u: jnp.where(state.active[:, None], u, 0.0), updates)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params), opt_state, loss
+
+    return step, tx

@@ -1,0 +1,260 @@
+"""Per-image overfit trainer: jitted chunked loop, growth/prune scheduling.
+
+Reference: ``SimpleTrainer2d`` (train.py:27-191). The reference runs one
+Python iteration per optimizer step with a host sync every step (loss.item())
+and deep-copies the best state dict on every PSNR improvement
+(train.py:133-139). Here the loop is restructured for XLA:
+
+- ``train_chunk`` scans ``prune_iter`` (default 100) steps inside one jit —
+  matching the reference's prune cadence exactly (train.py:147-148) — and
+  keeps the best-PSNR parameter snapshot *in-graph* via ``jnp.where``
+  (replaces the deepcopy at train.py:137), so the whole fit runs with a few
+  dozen dispatches and zero per-step host syncs.
+- growth fires every ``grow_iter`` (default 5000) steps on the chunk's final
+  pre-update render (train.py:150-152), with the final fill-to-max at
+  ``iterations - grow_iter`` (train.py:93-94).
+- optimizer moments are zeroed at newly activated slots
+  (cat_tensors_to_optimizer zero-padding, gaussianimage_covariance.py:269-272)
+  and parameter updates are masked to active slots.
+
+Evaluation keeps the reference protocol: 1 warmup render + 100 timed renders,
+PSNR from float MSE, MS-SSIM (train.py:178-191).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.gaussian_image import (
+    GaussianConfig,
+    GaussianParams,
+    GaussianState,
+    grow,
+    init_state,
+    prune,
+    render,
+)
+from .losses import loss_fn, ms_ssim
+from .metrics import psnr as psnr_fn
+from .optim import make_adam
+
+
+@struct.dataclass
+class TrainConfig:
+    iterations: int = struct.field(pytree_node=False, default=50000)
+    lr: float = struct.field(pytree_node=False, default=0.018)
+    prune_iter: int = struct.field(pytree_node=False, default=100)
+    grow_iter: int = struct.field(pytree_node=False, default=5000)
+    adaptive_add: bool = struct.field(pytree_node=False, default=True)
+    prune: bool = struct.field(pytree_node=False, default=True)
+    loss_type: str = struct.field(pytree_node=False, default="L2")
+    lambda_value: float = struct.field(pytree_node=False, default=0.7)
+    base_num_samples: int = struct.field(pytree_node=False, default=1000)
+    lr_step_size: int = struct.field(pytree_node=False, default=20000)
+    lr_gamma: float = struct.field(pytree_node=False, default=0.5)
+
+
+@struct.dataclass
+class TrainState:
+    gaussians: GaussianState
+    opt_state: Any
+    key: jax.Array
+    step: jax.Array            # [] int32, completed iterations
+    best_psnr: jax.Array       # [] f32
+    best_iter: jax.Array       # [] int32
+    best_params: GaussianParams
+    best_active: jax.Array
+    best_bound: jax.Array
+    best_num_active: jax.Array
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    return make_adam(tcfg.lr, tcfg.lr_step_size, tcfg.lr_gamma)
+
+
+def init_train_state(cfg: GaussianConfig, tcfg: TrainConfig, num_points: int,
+                     seed: int = 3047) -> TrainState:
+    key = jax.random.PRNGKey(seed)
+    k_init, key = jax.random.split(key)
+    gs = init_state(cfg, num_points, k_init)
+    tx = make_optimizer(tcfg)
+    opt_state = tx.init(gs.params)
+    return TrainState(
+        gaussians=gs, opt_state=opt_state, key=key,
+        step=jnp.zeros((), jnp.int32),
+        best_psnr=jnp.full((), -jnp.inf),
+        best_iter=jnp.zeros((), jnp.int32),
+        best_params=gs.params, best_active=gs.active, best_bound=gs.bound,
+        best_num_active=gs.num_active)
+
+
+def _mask_updates(updates: GaussianParams, active: jax.Array) -> GaussianParams:
+    m = active[:, None]
+    return jax.tree.map(lambda u: jnp.where(m, u, 0.0), updates)
+
+
+def _zero_state_rows(opt_state, mask: jax.Array):
+    """Zero optimizer moment rows at ``mask`` (slot re-activation)."""
+
+    def zero_rows(x):
+        if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == mask.shape[0]:
+            return jnp.where(mask.reshape((-1,) + (1,) * (x.ndim - 1)), 0.0, x)
+        return x
+
+    return jax.tree.map(zero_rows, opt_state)
+
+
+def train_step(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
+               tcfg: TrainConfig, tx: optax.GradientTransformation):
+    """One optimizer step (train_iter, gaussianimage_covariance.py:249-259).
+
+    Returns (new_ts, (loss, psnr, pre-update render)).
+    """
+    gs = ts.gaussians
+
+    def objective(params: GaussianParams):
+        img = render(gs.replace(params=params), cfg)
+        return loss_fn(img, gt, tcfg.loss_type, tcfg.lambda_value), img
+
+    (loss, img), grads = jax.value_and_grad(objective, has_aux=True)(gs.params)
+    updates, opt_state = tx.update(grads, ts.opt_state, gs.params)
+    updates = _mask_updates(updates, gs.active)
+    params = optax.apply_updates(gs.params, updates)
+
+    step = ts.step + 1
+    cur_psnr = psnr_fn(img, gt)
+    improved = cur_psnr > ts.best_psnr
+    take = lambda new, old: jax.tree.map(
+        lambda a, b: jnp.where(improved, a, b), new, old)
+    ts = ts.replace(
+        gaussians=gs.replace(params=params),
+        opt_state=opt_state, step=step,
+        best_psnr=jnp.where(improved, cur_psnr, ts.best_psnr),
+        best_iter=jnp.where(improved, step, ts.best_iter),
+        # snapshot the *pre-update* params that produced this PSNR, matching
+        # the reference which deepcopies state after train_iter (train.py:137)
+        # — note the reference's state dict at that point contains the
+        # POST-update params; we snapshot post-update too for parity:
+        best_params=take(params, ts.best_params),
+        best_active=take(gs.active, ts.best_active),
+        best_bound=take(gs.bound, ts.best_bound),
+        best_num_active=jnp.where(improved, gs.num_active, ts.best_num_active),
+    )
+    return ts, (loss, cur_psnr, img)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "n_steps", "do_prune", "do_grow"))
+def train_chunk(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
+                tcfg: TrainConfig, n_steps: int, do_prune: bool,
+                do_grow: bool, final_fill: bool = False):
+    """``n_steps`` fused train steps + optional prune + optional growth.
+
+    Returns (ts, metrics dict of per-chunk arrays).
+    """
+    tx = make_optimizer(tcfg)
+
+    def body(carry, _):
+        ts, _img = carry
+        ts, (loss, p, img) = train_step(ts, gt, cfg, tcfg, tx)
+        return (ts, img), (loss, p)
+
+    dummy_img = jnp.zeros((cfg.H, cfg.W, 3))
+    (ts, last_img), (losses, psnrs) = jax.lax.scan(
+        body, (ts, dummy_img), None, length=n_steps)
+
+    n_pruned = jnp.zeros((), jnp.int32)
+    if do_prune:
+        gs, n_pruned = prune(ts.gaussians, cfg)
+        ts = ts.replace(gaussians=gs)
+
+    n_added = jnp.zeros((), jnp.int32)
+    if do_grow:
+        k_grow, key = jax.random.split(ts.key)
+        gs, n_added, new_mask = grow(
+            ts.gaussians, cfg, last_img, gt, k_grow,
+            final_fill=jnp.asarray(final_fill),
+            base_num_samples=tcfg.base_num_samples)
+        opt_state = _zero_state_rows(ts.opt_state, new_mask)
+        ts = ts.replace(gaussians=gs, opt_state=opt_state, key=key)
+
+    return ts, {"loss": losses, "psnr": psnrs, "n_pruned": n_pruned,
+                "n_added": n_added}
+
+
+def restore_best(ts: TrainState) -> GaussianState:
+    """Rebuild the best-PSNR GaussianState (train.py:158-164)."""
+    return ts.gaussians.replace(
+        params=ts.best_params, active=ts.best_active, bound=ts.best_bound,
+        num_active=ts.best_num_active)
+
+
+class FitResult(NamedTuple):
+    state: GaussianState
+    best_psnr: float
+    best_iter: int
+    train_time: float
+    history: dict
+
+
+def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
+              num_points: int, seed: int = 3047,
+              log_every: Optional[int] = None, logger=None) -> FitResult:
+    """Full single-image fit (train.py:120-176): chunked jit loop with the
+    reference's prune/grow cadence, then restore the best snapshot."""
+    ts = init_train_state(cfg, tcfg, num_points, seed)
+    gt = jnp.asarray(gt)
+    chunk = tcfg.prune_iter
+    assert tcfg.iterations % chunk == 0, "iterations must divide by prune_iter"
+    n_chunks = tcfg.iterations // chunk
+    history = {"loss": [], "psnr": []}
+
+    t0 = time.perf_counter()
+    for ci in range(n_chunks):
+        it_end = (ci + 1) * chunk
+        do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
+                   and it_end < tcfg.iterations)
+        final_fill = it_end == tcfg.iterations - tcfg.grow_iter
+        ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune,
+                            do_grow, final_fill)
+        if log_every and it_end % log_every == 0:
+            lp = float(m["psnr"][-1])
+            msg = (f"iter {it_end}: psnr {lp:.4f} best {float(ts.best_psnr):.4f} "
+                   f"n {int(ts.gaussians.num_active)}")
+            (logger.write if logger else print)(msg)
+        history["loss"].append(m["loss"])
+        history["psnr"].append(m["psnr"])
+    jax.block_until_ready(ts.gaussians.params.xyz)
+    train_time = time.perf_counter() - t0
+
+    best = restore_best(ts)
+    history = {k: jnp.concatenate(v) for k, v in history.items()}
+    return FitResult(state=best, best_psnr=float(ts.best_psnr),
+                     best_iter=int(ts.best_iter), train_time=train_time,
+                     history=history)
+
+
+def evaluate(state: GaussianState, gt: jax.Array, cfg: GaussianConfig,
+             n_renders: int = 100) -> dict:
+    """Reference eval protocol (train.py:178-191): 1 warmup + n timed renders."""
+    render_jit = jax.jit(lambda s: render(s, cfg))
+    out = jax.block_until_ready(render_jit(state))
+    t0 = time.perf_counter()
+    for _ in range(n_renders):
+        out = render_jit(state)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_renders
+    gt = jnp.asarray(gt)
+    return {
+        "psnr": float(psnr_fn(out, gt)),
+        "ms_ssim": float(ms_ssim(out, gt)),
+        "eval_time": dt,
+        "fps": 1.0 / dt,
+        "num_points": int(state.num_active),
+    }

@@ -1,0 +1,145 @@
+"""Model state-machine (grow/prune) invariants and trainer integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussianimage_plus_tpu.models import (
+    GaussianConfig,
+    GaussianState,
+    effective_cov2d,
+    grow,
+    init_state,
+    prune,
+    render,
+)
+from gaussianimage_plus_tpu.train import TrainConfig, fit_image, init_train_state, train_chunk
+from gaussianimage_plus_tpu.core import slv_bound
+
+
+def small_cfg(**kw):
+    defaults = dict(H=32, W=48, max_num_points=64)
+    defaults.update(kw)
+    return GaussianConfig(**defaults)
+
+
+class TestInitState:
+    def test_layout(self):
+        cfg = small_cfg()
+        st = init_state(cfg, 20, jax.random.PRNGKey(0))
+        assert int(st.num_active) == 20
+        assert np.asarray(st.active).sum() == 20
+        xy = np.asarray(st.params.xyz)
+        assert xy[:, 0].max() <= cfg.W and xy[:, 1].max() <= cfg.H
+        lp = float(slv_bound(cfg.H, cfg.W, 20))
+        np.testing.assert_allclose(np.asarray(st.bound)[0], [lp, 0.0, lp], rtol=1e-6)
+
+    def test_render_shape(self):
+        cfg = small_cfg()
+        st = init_state(cfg, 20, jax.random.PRNGKey(0))
+        img = render(st, cfg)
+        assert img.shape == (cfg.H, cfg.W, 3)
+        assert float(jnp.min(img)) >= 0.0 and float(jnp.max(img)) <= 1.0
+
+
+class TestPrune:
+    def test_deactivates_non_psd(self):
+        cfg = small_cfg()
+        st = init_state(cfg, 30, jax.random.PRNGKey(1))
+        # corrupt 5 active rows to be non-PSD even after the bound
+        bad = jnp.arange(5)
+        cov = st.params.cov2d.at[bad].set(jnp.array([-500.0, 0.0, -500.0]))
+        st = st.replace(params=st.params.replace(cov2d=cov))
+        st2, n_pruned = prune(st, cfg)
+        assert int(n_pruned) == 5
+        assert int(st2.num_active) == 25
+        assert not np.any(np.asarray(st2.active)[:5])
+
+    def test_guard_all_invalid(self):
+        """Reference skips the prune if nothing would remain (:357)."""
+        cfg = small_cfg()
+        st = init_state(cfg, 10, jax.random.PRNGKey(2))
+        cov = jnp.tile(jnp.array([[-1000.0, 0.0, -1000.0]]), (cfg.max_num_points, 1))
+        st = st.replace(params=st.params.replace(cov2d=cov))
+        st2, n_pruned = prune(st, cfg)
+        assert int(st2.num_active) == 10  # untouched
+        assert int(n_pruned) == 0
+
+
+class TestGrow:
+    def test_adds_at_error_peaks(self):
+        cfg = small_cfg()
+        st = init_state(cfg, 10, jax.random.PRNGKey(3))
+        gt = jnp.zeros((cfg.H, cfg.W, 3))
+        rendered = jnp.zeros((cfg.H, cfg.W, 3))
+        # error peak at pixel (y=7, x=33)
+        gt = gt.at[7, 33].set(1.0)
+        st2, n_added, new_mask = grow(st, cfg, rendered, gt, jax.random.PRNGKey(4),
+                                      final_fill=jnp.asarray(False), base_num_samples=4)
+        assert int(n_added) >= 1
+        # the top-error candidate that survived PSD lands on the peak pixel
+        new_rows = np.asarray(st2.params.xyz)[np.asarray(new_mask)]
+        assert any(np.allclose(r, [33.0, 7.0]) for r in new_rows)
+        assert int(st2.num_active) == 10 + int(n_added)
+        # new rows carry the post-growth SLV bound
+        lp = float(slv_bound(cfg.H, cfg.W, int(st2.num_active)))
+        got = np.asarray(st2.bound)[np.asarray(new_mask)]
+        np.testing.assert_allclose(got[:, 0], lp, rtol=1e-6)
+
+    def test_cap_and_final_fill(self):
+        cfg = small_cfg(max_num_points=32)
+        st = init_state(cfg, 10, jax.random.PRNGKey(5))
+        gt = jnp.ones((cfg.H, cfg.W, 3))
+        rendered = jnp.zeros_like(gt)
+        st2, n_added, _ = grow(st, cfg, rendered, gt, jax.random.PRNGKey(6),
+                               final_fill=jnp.asarray(False), base_num_samples=5)
+        assert int(n_added) <= 5
+        st3, n_added3, _ = grow(st2, cfg, rendered, gt, jax.random.PRNGKey(7),
+                                final_fill=jnp.asarray(True))
+        # final fill adds up to all remaining slots (minus PSD rejects)
+        assert int(st3.num_active) <= 32
+        assert int(st3.num_active) >= int(st2.num_active)
+
+    def test_jit_compatible(self):
+        cfg = small_cfg()
+        st = init_state(cfg, 10, jax.random.PRNGKey(8))
+        gt = jnp.ones((cfg.H, cfg.W, 3))
+        f = jax.jit(lambda s, k: grow(s, cfg, jnp.zeros_like(gt), gt, k,
+                                      final_fill=jnp.asarray(False)))
+        st2, n, m = f(st, jax.random.PRNGKey(9))
+        assert int(st2.num_active) == 10 + int(n)
+
+
+class TestTrainer:
+    def test_fit_improves(self):
+        H, W = 32, 48
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        gt = np.stack([xx / W, yy / H, 0.5 * np.ones_like(xx)], -1)
+        cfg = small_cfg()
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.02)
+        res = fit_image(gt, cfg, tcfg, num_points=30, seed=0)
+        assert res.best_psnr > 18.0
+        assert np.all(np.diff([float(p) for p in res.history["psnr"][::50]]) > -5)
+
+    def test_inactive_slots_frozen(self):
+        cfg = small_cfg()
+        tcfg = TrainConfig(iterations=50, grow_iter=1000, prune_iter=50, lr=0.02,
+                           adaptive_add=False, prune=False)
+        ts = init_train_state(cfg, tcfg, 16, seed=1)
+        before = np.asarray(ts.gaussians.params.xyz)[16:]
+        gt = jnp.full((cfg.H, cfg.W, 3), 0.7)
+        ts2, _ = train_chunk(ts, gt, cfg, tcfg, 50, False, False)
+        after = np.asarray(ts2.gaussians.params.xyz)[16:]
+        np.testing.assert_array_equal(before, after)
+
+    def test_best_snapshot_monotone(self):
+        cfg = small_cfg()
+        tcfg = TrainConfig(iterations=100, grow_iter=1000, prune_iter=50, lr=0.02,
+                           adaptive_add=False)
+        ts = init_train_state(cfg, tcfg, 16, seed=2)
+        gt = jnp.full((cfg.H, cfg.W, 3), 0.3)
+        ts, m1 = train_chunk(ts, gt, cfg, tcfg, 50, True, False)
+        best1 = float(ts.best_psnr)
+        ts, m2 = train_chunk(ts, gt, cfg, tcfg, 50, True, False)
+        assert float(ts.best_psnr) >= best1
+        assert float(ts.best_psnr) >= float(np.max(np.asarray(m2["psnr"])))

@@ -1,0 +1,139 @@
+"""Tiled rasterizer (binning + custom VJP) vs the dense oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussianimage_plus_tpu.core import project_gaussians_2d_covariance, render_dense
+from gaussianimage_plus_tpu.core.binning import bin_gaussians, TileBins
+from gaussianimage_plus_tpu.core.render_tiled import rasterize_tiled
+
+
+def make_scene(n=60, H=48, W=80, seed=0, saturate=False):
+    rng = np.random.default_rng(seed)
+    xy = np.stack([rng.uniform(0, W, n), rng.uniform(0, H, n)], -1).astype(np.float32)
+    a = rng.uniform(2.0, 60.0, n)
+    c = rng.uniform(2.0, 60.0, n)
+    b = rng.uniform(-0.8, 0.8, n) * np.sqrt(a * c)
+    cov = np.stack([a, b, c], -1).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacity = (np.full((n,), 2.0) if saturate else np.ones((n,))).astype(np.float32)
+    return (jnp.asarray(xy), jnp.asarray(cov), jnp.asarray(colors),
+            jnp.asarray(opacity), H, W)
+
+
+def tiled_render(xy, cov, colors, opacity, H, W, cap=256, method="scatter"):
+    proj = project_gaussians_2d_covariance(xy, cov, H, W)
+    bins = bin_gaussians(proj, H, W, cap=cap, method=method)
+    img = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
+                          bins.ids, bins.mask, H, W)
+    return jnp.clip(img, 0.0, 1.0), proj, bins
+
+
+class TestBinning:
+    def test_methods_agree(self):
+        xy, cov, colors, opacity, H, W = make_scene(n=120, seed=3)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        b1 = bin_gaussians(proj, H, W, cap=16, method="scatter")
+        b2 = bin_gaussians(proj, H, W, cap=16, method="top_k")
+        np.testing.assert_array_equal(np.asarray(b1.mask), np.asarray(b2.mask))
+        np.testing.assert_array_equal(
+            np.asarray(b1.ids)[np.asarray(b1.mask)],
+            np.asarray(b2.ids)[np.asarray(b2.mask)])
+        np.testing.assert_array_equal(np.asarray(b1.count), np.asarray(b2.count))
+
+    def test_against_bruteforce(self):
+        xy, cov, colors, opacity, H, W = make_scene(n=50, seed=4)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        bins = bin_gaussians(proj, H, W, cap=256)
+        from gaussianimage_plus_tpu.core import tile_membership
+        member = np.asarray(tile_membership(proj, H, W))
+        ids, mask = np.asarray(bins.ids), np.asarray(bins.mask)
+        for t in range(member.shape[0]):
+            expect = np.nonzero(member[t])[0]
+            got = ids[t][mask[t]]
+            np.testing.assert_array_equal(got, expect[:256])
+
+
+class TestTiledForward:
+    def test_matches_dense(self):
+        xy, cov, colors, opacity, H, W = make_scene()
+        img_t, proj, _ = tiled_render(xy, cov, colors, opacity, H, W)
+        img_d = render_dense(proj, colors, opacity, H, W)
+        np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_d), atol=1e-5)
+
+    def test_matches_dense_with_cap(self):
+        xy, cov, colors, opacity, H, W = make_scene(n=80, seed=9)
+        img_t, proj, _ = tiled_render(xy, cov, colors, opacity, H, W, cap=8)
+        img_d = render_dense(proj, colors, opacity, H, W, tile_cap=8)
+        np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_d), atol=1e-5)
+
+    def test_jit(self):
+        xy, cov, colors, opacity, H, W = make_scene(seed=2)
+        f = jax.jit(lambda *a: tiled_render(*a, H, W)[0])
+        img = f(xy, cov, colors, opacity)
+        img2, _, _ = tiled_render(xy, cov, colors, opacity, H, W)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=1e-5)
+
+
+class TestTiledVJP:
+    def _grads(self, render_fn, xy, cov, colors, opacity, H, W, seed=11):
+        rng = np.random.default_rng(seed)
+        cot = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+
+        def loss(args):
+            img = render_fn(*args)
+            return jnp.sum(img * cot)
+
+        return jax.grad(loss)((xy, cov, colors, opacity))
+
+    def test_vjp_matches_dense_autodiff(self):
+        xy, cov, colors, opacity, H, W = make_scene(n=40, seed=5)
+
+        def tiled(x, c, col, op):
+            return tiled_render(x, c, col, op, H, W)[0]
+
+        def dense(x, c, col, op):
+            proj = project_gaussians_2d_covariance(x, c, H, W)
+            return render_dense(proj, col, op, H, W)
+
+        g_t = self._grads(tiled, xy, cov, colors, opacity, H, W)
+        g_d = self._grads(dense, xy, cov, colors, opacity, H, W)
+        for a, b, name in zip(g_t, g_d, ["xy", "cov", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4, err_msg=name)
+
+    def test_vjp_matches_dense_autodiff_saturated(self):
+        """Saturated min(1,.) regime: both paths use the pass-through grad."""
+        xy, cov, colors, opacity, H, W = make_scene(n=30, seed=6, saturate=True)
+
+        def tiled(x, c, col, op):
+            return tiled_render(x, c, col, op, H, W)[0]
+
+        def dense(x, c, col, op):
+            proj = project_gaussians_2d_covariance(x, c, H, W)
+            return render_dense(proj, col, op, H, W)
+
+        g_t = self._grads(tiled, xy, cov, colors, opacity, H, W)
+        g_d = self._grads(dense, xy, cov, colors, opacity, H, W)
+        for a, b, name in zip(g_t, g_d, ["xy", "cov", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4, err_msg=name)
+
+    def test_color_grad_closed_form(self):
+        """v_rgb = sum_p contrib * alpha — single gaussian, uniform cotangent."""
+        H, W = 16, 16
+        xy = jnp.array([[8.0, 8.0]])
+        cov = jnp.array([[9.0, 0.0, 9.0]])
+        colors = jnp.array([[0.3, 0.4, 0.5]])
+        opacity = jnp.ones((1,))
+
+        def f(col):
+            img, _, _ = tiled_render(xy, cov, col, opacity, H, W)
+            return jnp.sum(img[..., 0])
+
+        g = float(jax.grad(f)(colors)[0, 0])
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        img_w = render_dense(proj, jnp.ones((1, 3)), opacity, H, W)
+        # with color=1 each pixel holds clamped alpha; sum = total weight
+        assert np.isclose(g, float(jnp.sum(img_w[..., 0])), rtol=1e-5)
