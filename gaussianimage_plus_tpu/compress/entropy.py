@@ -1,0 +1,158 @@
+"""Entropy coding: native rANS bitstreams + bpp accounting.
+
+Host-side codec layer replacing the reference's constriction (Rust) dependency
+(utils.py:61-110):
+
+- ``compress_categorical`` / ``decompress_categorical`` — ANS with a
+  categorical model built from the symbol histogram
+  (compress_matrix_flatten_categorical, utils.py:61-77 and its decoder
+  :79-89) including the uniquing + dtype-minimized side tables
+  (judege_type, utils.py:46-60).
+- ``gaussian_global_bits`` — bitstream size under a quantized-Gaussian global
+  model (compress_matrix_flatten_gaussian_global, utils.py:94-110). The
+  reference only uses the compressed SIZE of this variant (for ``bpp_wc``),
+  which we compute by coding against the discretized Gaussian histogram.
+
+The native coder lives in native/rans.cpp (C++, ctypes-loaded, built on
+first use with g++ -O2).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+_LIB = None
+
+
+def _lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    root = Path(__file__).resolve().parent.parent / "native"
+    src = root / "rans.cpp"
+    so = root / "librans.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(src), "-o", str(so)],
+            check=True)
+    lib = ctypes.CDLL(str(so))
+    lib.rans_encode.restype = ctypes.c_long
+    lib.rans_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_long]
+    lib.rans_decode.restype = ctypes.c_int
+    lib.rans_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long]
+    _LIB = lib
+    return lib
+
+
+def _as_i32_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _as_u32_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _as_u16_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def _minimized_dtype(vmin: int, vmax: int):
+    """judege_type (utils.py:46-60)."""
+    if vmin >= 0:
+        if vmax <= 256:
+            return np.uint8
+        if vmax <= 65535:
+            return np.uint16
+        return np.uint32
+    if vmax < 128 and vmin >= -128:
+        return np.int8
+    if vmax < 32768 and vmin >= -32768:
+        return np.int16
+    return np.int32
+
+
+def encode_rans(messages: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Encode index stream against a histogram; returns u16 stream words."""
+    msgs = np.ascontiguousarray(messages, dtype=np.int32)
+    cts = np.ascontiguousarray(counts, dtype=np.uint32)
+    cap = 2 * msgs.size + 16
+    out = np.empty(cap, dtype=np.uint16)
+    n = _lib().rans_encode(_as_i32_ptr(msgs), msgs.size, _as_u32_ptr(cts),
+                           cts.size, _as_u16_ptr(out), cap)
+    if n < 0:
+        raise ValueError("rans_encode failed (capacity or bad symbol)")
+    return out[:n].copy()
+
+
+def decode_rans(words: np.ndarray, counts: np.ndarray, n: int) -> np.ndarray:
+    ws = np.ascontiguousarray(words, dtype=np.uint16)
+    cts = np.ascontiguousarray(counts, dtype=np.uint32)
+    out = np.empty(n, dtype=np.int32)
+    rc = _lib().rans_decode(_as_u16_ptr(ws), ws.size, _as_u32_ptr(cts),
+                            cts.size, _as_i32_ptr(out), n)
+    if rc != 0:
+        raise ValueError("rans_decode failed")
+    return out
+
+
+def compress_categorical(matrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(compressed_words, histogram, unique_values) — utils.py:61-77."""
+    flat = np.asarray(matrix).reshape(-1)
+    unique, inverse, counts = np.unique(flat, return_inverse=True,
+                                        return_counts=True)[0], None, None
+    unique, inverse, counts = np.unique(flat, return_inverse=True,
+                                        return_counts=True)
+    unique = unique.astype(_minimized_dtype(int(unique.min()), int(unique.max())))
+    words = encode_rans(inverse.astype(np.int32), counts.astype(np.uint32))
+    return words, counts.astype(np.int64), unique
+
+
+def decompress_categorical(words, counts, unique, length, shape) -> np.ndarray:
+    """utils.py:79-89."""
+    idx = decode_rans(np.asarray(words), np.asarray(counts), int(length))
+    return np.asarray(unique)[idx].reshape(shape)
+
+
+def categorical_bits(matrix) -> int:
+    """Total size in bits: stream + histogram + unique table
+    (get_np_size accounting, quantize.py:300-304)."""
+    words, counts, unique = compress_categorical(matrix)
+    return int(words.size * words.itemsize * 8 +
+               counts.size * counts.itemsize * 8 +
+               unique.size * unique.itemsize * 8)
+
+
+def gaussian_global_bits(matrix) -> int:
+    """Size in bits of the stream under a global quantized-Gaussian model
+    (compress_matrix_flatten_gaussian_global, utils.py:94-110)."""
+    flat = np.asarray(matrix, dtype=np.float64).reshape(-1)
+    mean = float(flat.mean())
+    std = float(np.clip(flat.std(ddof=1) if flat.size > 1 else 1.0, 1e-5, 1e10))
+    vmin = int(np.floor(flat.min()))
+    vmax = int(np.ceil(flat.max()))
+    if vmin == vmax:
+        vmax = vmin + 1
+    support = np.arange(vmin, vmax + 1)
+    # discretized Gaussian pmf over the integer support
+    from math import erf, sqrt
+
+    def cdf(x):
+        return 0.5 * (1.0 + erf((x - mean) / (std * sqrt(2.0))))
+
+    pmf = np.array([max(cdf(s + 0.5) - cdf(s - 0.5), 1e-12) for s in support])
+    counts = np.maximum((pmf / pmf.sum() * (1 << 16)).astype(np.uint32), 1)
+    symbols = (np.rint(flat).astype(np.int64) - vmin).astype(np.int32)
+    words = encode_rans(symbols, counts)
+    return int(words.size * 16)

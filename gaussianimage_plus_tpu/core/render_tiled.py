@@ -195,24 +195,38 @@ def _rasterize_bwd(H, W, block_h, block_w, res, v_img):
     v_xy_x = c1 * mom_x + c2 * mom_y
     v_xy_y = c2 * mom_x + c3 * mom_y
 
-    fmask = mask.astype(v_img.dtype)
-    v_xy_tile = jnp.stack([v_xy_x, v_xy_y], axis=-1) * fmask[..., None]
-    v_con_tile = jnp.stack([v_con_x, v_con_y, v_con_z], axis=-1) * fmask[..., None]
-    v_rgb_tile = v_rgb_tile * fmask[..., None]
-    v_opac_tile = v_opac_tile * fmask
-
-    # Deterministic scatter-add over the tile->gaussian index map — replaces
-    # the reference's warpSum + atomicAdd (backward.cu:1330-1344).
-    N = xys.shape[0]
-    flat_ids = ids.reshape(-1)
-    v_xys = jnp.zeros_like(xys).at[flat_ids].add(v_xy_tile.reshape(-1, 2))
-    v_conics = jnp.zeros_like(conics).at[flat_ids].add(v_con_tile.reshape(-1, 3))
-    v_colors = jnp.zeros_like(colors).at[flat_ids].add(v_rgb_tile.reshape(-1, 3))
-    v_opacity = jnp.zeros((N,), opacity.dtype).at[flat_ids].add(v_opac_tile.reshape(-1))
-    v_opacity = v_opacity.reshape(opacity.shape)
+    v_xys, v_conics, v_colors, v_opacity = scatter_tile_grads(
+        ids, mask, v_xy_x, v_xy_y, v_con_x, v_con_y, v_con_z,
+        v_rgb_tile, v_opac_tile, opacity)
 
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (v_xys, v_conics, v_colors, v_opacity, f0(ids), f0(mask))
+
+
+def scatter_tile_grads(ids, mask, v_xy_x, v_xy_y, v_con_x, v_con_y, v_con_z,
+                       v_rgb_tile, v_opac_tile, opacity):
+    """Deterministic per-Gaussian gradient accumulation — replaces the
+    reference's warpSum + atomicAdd (backward.cu:1330-1344).
+
+    All 9 gradient channels ride ONE scatter-add: on TPU a scatter's cost is
+    dominated by the row indexing, not the row width, so fusing the four
+    scatters (xy, conic, rgb, opacity) into one [T*K, 9] op is ~4x cheaper
+    than issuing them separately.
+    """
+    fmask = mask.astype(v_rgb_tile.dtype)
+    packed = jnp.concatenate([
+        jnp.stack([v_xy_x, v_xy_y, v_con_x, v_con_y, v_con_z], axis=-1),
+        v_rgb_tile,
+        v_opac_tile[..., None],
+    ], axis=-1) * fmask[..., None]                       # [T, K, 9]
+    num = opacity.reshape(-1).shape[0]
+    acc = jnp.zeros((num, 9), packed.dtype).at[ids.reshape(-1)].add(
+        packed.reshape(-1, 9))
+    v_xys = acc[:, 0:2]
+    v_conics = acc[:, 2:5]
+    v_colors = acc[:, 5:8]
+    v_opacity = acc[:, 8].reshape(opacity.shape)
+    return v_xys, v_conics, v_colors, v_opacity
 
 
 rasterize_tiled.defvjp(_rasterize_fwd, _rasterize_bwd)

@@ -1,0 +1,317 @@
+"""Pallas TPU kernels for the tile-binned accumulated-sum rasterizer.
+
+Same math as core/render_tiled.py (which remains the XLA fallback and the
+test oracle) but fused so the [K, P] score/alpha matrices never leave VMEM.
+The pure-XLA path materializes ~400 MB of [T, P, K] intermediates per pass
+(XLA cannot fuse the exp/masks between the two per-tile matmuls); on a v5e
+that HBM round-trip dominates the step.
+
+Data layout ("v2"): one prepacked attribute table, one gather, one scatter.
+
+- ``table`` [N+1, 16]: per-Gaussian rows
+  [c1, c2, c3, mx, my, r, g, b, opac, 0..0, valid=1]; row N is the all-zero
+  sentinel for empty bin slots (its ``valid`` column is 0).
+- ``raw = table[ids_sentinel]`` [T, K, 16] — the only gather.
+- Kernels consume [KC, 16] chunks; tile origins come from ``program_id`` so
+  the quadratic coefficients are computed in-kernel in tile-local coordinates
+  (f32-safe for 2K-resolution images, same precision class as the reference's
+  direct ``delta`` evaluation).
+- Chunk skipping: members are front-packed per tile, so chunk ``c`` is dead
+  whenever ``c*KC >= count[t]`` (counts ride scalar prefetch). Exact, not an
+  approximation.
+- The backward kernel emits the finished per-(tile, slot) gradient payload
+  [v_xy(2), v_conic(3), v_rgb(3), v_opac(1)] — reference math
+  backward.cu:1297-1323 including the pass-through ``min(1,.)`` gradient and
+  the half-off-diagonal v_conic convention — and a single 9-channel
+  scatter-add accumulates per Gaussian (replaces warpSum + atomicAdd,
+  backward.cu:1330-1344; sentinel rows drop via out-of-bounds 'drop' mode).
+
+Kernels run in interpret mode automatically on CPU so the same code path is
+unit-testable off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.gaussian2d import ALPHA_THRESHOLD, BLOCK_H, BLOCK_W, tile_bounds_for
+from ..core.render_tiled import _image_to_tiles, _tiles_to_image
+
+COLS = 16
+# K-chunk width per grid step; must be a multiple of 128 (Mosaic lane-dim
+# block constraint).
+KC = 128
+# Tiles processed per grid step: amortizes per-step DMA latency (a single
+# tile's attribute block is only ~8 KB; the grid would be latency-bound).
+TB = 8
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _build_table(xys, conics, colors, opacity):
+    """[N+1, COLS] attribute table with a zero sentinel row."""
+    N = xys.shape[0]
+    op = opacity.reshape(-1)
+    cols = [conics[:, 0], conics[:, 1], conics[:, 2],
+            xys[:, 0], xys[:, 1],
+            colors[:, 0], colors[:, 1], colors[:, 2],
+            op]
+    z = jnp.zeros_like(op)
+    cols += [z] * (COLS - len(cols) - 1) + [jnp.ones_like(op)]
+    table = jnp.stack(cols, axis=1)                        # [N, COLS]
+    return jnp.concatenate([table, jnp.zeros((1, COLS), table.dtype)], axis=0)
+
+
+def _phi_block(block_h: int, block_w: int) -> jax.Array:
+    P = block_h * block_w
+    ppx = (jnp.arange(P, dtype=jnp.int32) % block_w).astype(jnp.float32)
+    ppy = (jnp.arange(P, dtype=jnp.int32) // block_w).astype(jnp.float32)
+    one = jnp.ones_like(ppx)
+    zero = jnp.zeros_like(ppx)
+    return jnp.stack([ppx * ppx, ppy * ppy, ppx * ppy, ppx, ppy, one,
+                      zero, zero], axis=0)                 # [8, P]
+
+
+def _chunk_geometry(raw, phi, t, tb_x, block_h, block_w):
+    """Per-chunk recompute of sigma/alpha/contrib from the raw attr chunk."""
+    tx0 = ((t % tb_x) * block_w).astype(jnp.float32)
+    ty0 = ((t // tb_x) * block_h).astype(jnp.float32)
+    c1 = raw[:, 0:1]
+    c2 = raw[:, 1:2]
+    c3 = raw[:, 2:3]
+    lmx = raw[:, 3:4] - tx0
+    lmy = raw[:, 4:5] - ty0
+    opac = raw[:, 8:9]
+    valid = raw[:, COLS - 1:COLS]
+    w = jnp.concatenate([
+        0.5 * c1, 0.5 * c3, c2,
+        -(c1 * lmx + c2 * lmy),
+        -(c2 * lmx + c3 * lmy),
+        0.5 * c1 * lmx * lmx + 0.5 * c3 * lmy * lmy + c2 * lmx * lmy,
+        jnp.zeros_like(c1), jnp.zeros_like(c1),
+    ], axis=1)                                             # [KC, 8]
+    sigma = jax.lax.dot_general(                           # [KC, P]
+        w, phi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    vis = jnp.exp(-sigma)
+    alpha = jnp.minimum(1.0, opac * vis)
+    contrib = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (valid > 0.0)
+    return (c1, c2, c3, lmx, lmy, opac, sigma, vis, alpha, contrib)
+
+
+def _make_fwd_kernel(tb_x, block_h, block_w, kc, tb):
+    def kernel(counts_ref, raw_ref, phi_ref, out_ref):
+        tblk = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        phi = phi_ref[...]                                 # [8, P]
+        for i in range(tb):
+            t = tblk * tb + i
+
+            @pl.when(c * kc < counts_ref[t])
+            def _(i=i, t=t):
+                raw = raw_ref[i]                           # [KC, COLS]
+                (_, _, _, _, _, _, _, _, alpha, contrib) = _chunk_geometry(
+                    raw, phi, t, tb_x, block_h, block_w)
+                weights = jnp.where(contrib, alpha, 0.0)   # [KC, P]
+                rgb8 = jnp.concatenate(
+                    [raw[:, 5:8], jnp.zeros((raw.shape[0], 5), raw.dtype)], axis=1)
+                # out[c,p] += sum_k rgb8[k,c] * weights[k,p]
+                out_ref[i] += jax.lax.dot_general(
+                    rgb8, weights, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [8, P]
+
+    return kernel
+
+
+def _make_bwd_kernel(tb_x, block_h, block_w, kc, tb):
+    def kernel(counts_ref, raw_ref, phi_ref, vout_ref, out_ref):
+        tblk = pl.program_id(0)
+        c = pl.program_id(1)
+        phi = phi_ref[...]
+        for i in range(tb):
+            t = tblk * tb + i
+
+            @pl.when(c * kc >= counts_ref[t])
+            def _(i=i):
+                out_ref[i] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+            @pl.when(c * kc < counts_ref[t])
+            def _(i=i, t=t):
+                raw = raw_ref[i]                           # [KC, COLS]
+                (c1, c2, c3, lmx, lmy, opac, sigma, vis, alpha, contrib) = \
+                    _chunk_geometry(raw, phi, t, tb_x, block_h, block_w)
+                weights = jnp.where(contrib, alpha, 0.0)   # [KC, P]
+                v_out = vout_ref[i]                        # [8, P] rows 0..2 live
+                rgb = raw[:, 5:8]                          # [KC, 3]
+                # v_alpha[k,p] = sum_c rgb[k,c] v_out[c,p]
+                v_alpha = jax.lax.dot_general(
+                    rgb, v_out[0:3, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # v_rgb[k,c] = sum_p weights[k,p] v_out[c,p]
+                v_rgb = jax.lax.dot_general(
+                    weights, v_out, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [KC, 8] cols 0..2
+                v_sigma = jnp.where(contrib, -(opac * vis) * v_alpha, 0.0)
+                v_opac = jnp.sum(jnp.where(contrib, vis * v_alpha, 0.0),
+                                 axis=1, keepdims=True)    # [KC, 1]
+                # moments M[k,f] = sum_p v_sigma[k,p] phi[f,p]
+                M = jax.lax.dot_general(
+                    v_sigma, phi, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [KC, 8]
+                Sxx = M[:, 0:1]; Syy = M[:, 1:2]; Sxy = M[:, 2:3]
+                Sx = M[:, 3:4]; Sy = M[:, 4:5]; S1 = M[:, 5:6]
+                v_con_x = 0.5 * (lmx * lmx * S1 - 2.0 * lmx * Sx + Sxx)
+                v_con_y = 0.5 * (lmx * lmy * S1 - lmx * Sy - lmy * Sx + Sxy)
+                v_con_z = 0.5 * (lmy * lmy * S1 - 2.0 * lmy * Sy + Syy)
+                mom_x = lmx * S1 - Sx
+                mom_y = lmy * S1 - Sy
+                v_xy_x = c1 * mom_x + c2 * mom_y
+                v_xy_y = c2 * mom_x + c3 * mom_y
+                zeros7 = jnp.zeros((raw.shape[0], 7), raw.dtype)
+                out_ref[i] = jnp.concatenate([
+                    v_xy_x, v_xy_y, v_con_x, v_con_y, v_con_z,
+                    v_rgb[:, 0:3], v_opac, zeros7,
+                ], axis=1)                                 # [KC, COLS]
+
+    return kernel
+
+
+def _chunk_width(K: int) -> int:
+    """Largest usable chunk: KC for big lists, the whole (8-aligned) list for
+    small ones. ``K`` must already be 8-aligned (the binner cap should be)."""
+    return KC if K >= KC else K
+
+
+def _tile_block(T: int) -> int:
+    """Tiles per grid step: TB when it divides T (callers pad T), else 1."""
+    return TB if T % TB == 0 else 1
+
+
+def _run_fwd(raw, counts, phi, P, tb_x, block_h, block_w):
+    T, K, _ = raw.shape
+    kc = _chunk_width(K)
+    nc = -(-K // kc)
+    tb = _tile_block(T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // tb, nc),
+        in_specs=[
+            pl.BlockSpec((tb, kc, COLS), lambda t, c, counts: (t, c, 0)),
+            pl.BlockSpec((8, P), lambda t, c, counts: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, 8, P), lambda t, c, counts: (t, 0, 0)),
+    )
+    return pl.pallas_call(
+        _make_fwd_kernel(tb_x, block_h, block_w, kc, tb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        interpret=_interpret(),
+    )(counts, raw, phi)
+
+
+def _run_bwd(raw, counts, phi, vout_tiles, P, tb_x, block_h, block_w):
+    T, K, _ = raw.shape
+    kc = _chunk_width(K)
+    nc = -(-K // kc)
+    tb = _tile_block(T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // tb, nc),
+        in_specs=[
+            pl.BlockSpec((tb, kc, COLS), lambda t, c, counts: (t, c, 0)),
+            pl.BlockSpec((8, P), lambda t, c, counts: (0, 0)),
+            pl.BlockSpec((tb, 8, P), lambda t, c, counts: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, kc, COLS), lambda t, c, counts: (t, c, 0)),
+    )
+    return pl.pallas_call(
+        _make_bwd_kernel(tb_x, block_h, block_w, kc, tb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, K, COLS), jnp.float32),
+        interpret=_interpret(),
+    )(counts, raw, phi, vout_tiles)
+
+
+def _padded_k(K: int) -> int:
+    """Sublane-align the slot list: to 8 below one chunk, else to KC."""
+    return -(-K // 8) * 8 if K < KC else -(-K // KC) * KC
+
+
+def _prepare(xys, conics, colors, opacity, ids, mask, H, W, block_h, block_w):
+    tb_x, tb_y = tile_bounds_for(H, W, block_h, block_w)
+    N = xys.shape[0]
+    table = _build_table(xys, conics, colors, opacity)
+    ids_s = jnp.where(mask, ids, N)
+    K = ids.shape[1]
+    Kp = _padded_k(K)
+    if Kp != K:
+        ids_s = jnp.pad(ids_s, ((0, 0), (0, Kp - K)), constant_values=N)
+    raw = table[ids_s]                                     # [T, Kp, COLS]
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    phi = _phi_block(block_h, block_w)
+    return raw, ids_s, counts, phi, tb_x, tb_y
+
+
+def _raster_pallas_fwd_impl(xys, conics, colors, opacity, ids, mask,
+                            H, W, block_h, block_w):
+    raw, _, counts, phi, tb_x, tb_y = _prepare(
+        xys, conics, colors, opacity, ids, mask, H, W, block_h, block_w)
+    P = block_h * block_w
+    out = _run_fwd(raw, counts, phi, P, tb_x, block_h, block_w)  # [T, 8, P]
+    tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)             # [T, P, 3]
+    return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def rasterize_pallas(xys, conics, colors, opacity, ids, mask,
+                     H: int, W: int, block_h: int = BLOCK_H, block_w: int = BLOCK_W):
+    """Drop-in replacement for core.render_tiled.rasterize_tiled backed by
+    fused Pallas kernels. Identical semantics and gradient conventions."""
+    return _raster_pallas_fwd_impl(xys, conics, colors, opacity, ids, mask,
+                                   H, W, block_h, block_w)
+
+
+def _rp_fwd(xys, conics, colors, opacity, ids, mask, H, W, block_h, block_w):
+    out = _raster_pallas_fwd_impl(xys, conics, colors, opacity, ids, mask,
+                                  H, W, block_h, block_w)
+    return out, (xys, conics, colors, opacity, ids, mask)
+
+
+def _rp_bwd(H, W, block_h, block_w, res, v_img):
+    xys, conics, colors, opacity, ids, mask = res
+    raw, ids_s, counts, phi, tb_x, tb_y = _prepare(
+        xys, conics, colors, opacity, ids, mask, H, W, block_h, block_w)
+    P = block_h * block_w
+    T = raw.shape[0]
+    vout_t = jnp.swapaxes(_image_to_tiles(v_img, tb_x, tb_y, block_h, block_w), 1, 2)
+    vout_pad = jnp.zeros((T, 8, P), jnp.float32).at[:, 0:3, :].set(vout_t)
+    payload = _run_bwd(raw, counts, phi, vout_pad, P, tb_x, block_h, block_w)
+
+    # One 9-channel scatter-add; sentinel slots carry id N (out of bounds) and
+    # are dropped.
+    N = xys.shape[0]
+    acc = jnp.zeros((N, 9), payload.dtype).at[ids_s.reshape(-1)].add(
+        payload[:, :, 0:9].reshape(-1, 9), mode="drop")
+    v_xys = acc[:, 0:2]
+    v_conics = acc[:, 2:5]
+    v_colors = acc[:, 5:8]
+    v_opacity = acc[:, 8].reshape(opacity.shape)
+
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (v_xys, v_conics, v_colors, v_opacity, f0(ids), f0(mask))
+
+
+rasterize_pallas.defvjp(_rp_fwd, _rp_bwd)

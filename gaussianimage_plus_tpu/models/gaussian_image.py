@@ -68,6 +68,9 @@ class GaussianConfig:
     block_h: int = struct.field(pytree_node=False, default=BLOCK_H)
     block_w: int = struct.field(pytree_node=False, default=BLOCK_W)
     bin_method: str = struct.field(pytree_node=False, default="scatter")
+    # rasterizer backend: 'pallas' (fused TPU kernels), 'xla' (pure-JAX tiled
+    # path), or 'auto' (pallas on TPU, xla elsewhere)
+    raster_backend: str = struct.field(pytree_node=False, default="auto")
 
 
 @struct.dataclass
@@ -187,9 +190,17 @@ def render(state: GaussianState, cfg: GaussianConfig,
                          method=cfg.bin_method)
     colors = colors_override if colors_override is not None else colors_of(state.params, cfg)
     opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)  # fixed 1 (:58)
-    img = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
-                          bins.ids, bins.mask, cfg.H, cfg.W,
-                          cfg.block_h, cfg.block_w)
+    backend = cfg.raster_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from ..kernels.raster_pallas import rasterize_pallas
+        raster = rasterize_pallas
+    else:
+        raster = rasterize_tiled
+    img = raster(proj.xys, proj.conics, colors, opacity,
+                 bins.ids, bins.mask, cfg.H, cfg.W,
+                 cfg.block_h, cfg.block_w)
     return jnp.clip(img, 0.0, 1.0)
 
 

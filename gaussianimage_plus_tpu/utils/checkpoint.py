@@ -1,0 +1,44 @@
+"""Checkpoint save/load via Orbax.
+
+TPU-native replacement for the reference's torch.save checkpoints
+(train.py:173-175: ``{"gs": state_dict, "num_gs", "psnr", "ms-ssim",
+"slv_bound"}``) and the resume path (train.py:61-77) that rebuilds the model
+at the checkpointed point count and restores the SLV bound rows. Here the
+whole GaussianState (params + active mask + bound rows + count) is one pytree
+so resume is exact by construction.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(path, state, extra: Optional[dict] = None) -> None:
+    """Write GaussianState (+ scalar metadata) under ``path`` (a directory)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    payload = {"state": state}
+    if extra:
+        payload["extra"] = {k: np.asarray(v) for k, v in extra.items()}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+
+
+def load_checkpoint(path, template_state):
+    """Restore (GaussianState, extra dict). ``template_state`` supplies the
+    pytree structure/shapes (build with init_state at the same config)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    state = jax.tree.unflatten(
+        jax.tree.structure(template_state),
+        jax.tree.leaves(restored["state"]))
+    return state, restored.get("extra", {})

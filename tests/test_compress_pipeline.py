@@ -1,0 +1,99 @@
+"""Quantization pipeline + codec integration (CPU, small sizes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussianimage_plus_tpu.models import GaussianConfig, init_state, render
+from gaussianimage_plus_tpu.train import TrainConfig, fit_image
+from gaussianimage_plus_tpu.compress import (
+    QuantConfig,
+    analysis_wo_ec,
+    compress_wo_ec,
+    decompress_wo_ec,
+    encode_decode_eval,
+    fit_image_quantized,
+    init_quantizers,
+    render_quantized,
+)
+from gaussianimage_plus_tpu.train.metrics import psnr as psnr_fn
+
+
+def fitted_state(H=32, W=48, n=40, iters=200):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    gt = np.stack([xx / W, yy / H, 0.5 + 0.3 * np.sin(xx / 7)], -1).astype(np.float32)
+    cfg = GaussianConfig(H=H, W=W, max_num_points=64)
+    tcfg = TrainConfig(iterations=iters, grow_iter=100, prune_iter=50, lr=0.02)
+    res = fit_image(gt, cfg, tcfg, num_points=n, seed=0)
+    return res.state, jnp.asarray(gt), cfg
+
+
+class TestQuantizedRender:
+    def test_quantized_close_to_float(self):
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig()
+        bundle = init_quantizers(state, cfg, qcfg)
+        img_q, codes, _ = render_quantized(bundle, state, cfg, qcfg)
+        img_f = render(state, cfg)
+        # 12/10/6-bit quantization should cost only a few dB
+        p_f = float(psnr_fn(img_f, gt))
+        p_q = float(psnr_fn(img_q, gt))
+        assert p_q > p_f - 6.0
+        assert codes["xy"].shape == (cfg.max_num_points, 2)
+
+    def test_codes_within_range(self):
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig()
+        bundle = init_quantizers(state, cfg, qcfg)
+        _, codes, _ = render_quantized(bundle, state, cfg, qcfg)
+        active = np.asarray(state.active)
+        xy = np.asarray(codes["xy"])[active]
+        assert xy.min() >= 0 and xy.max() <= 2 ** 12 - 1
+        col = np.asarray(codes["color"])[active]
+        assert col.min() >= 0 and col.max() <= 2 ** 6 - 1
+
+
+class TestCodec:
+    def test_roundtrip(self):
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig()
+        bundle = init_quantizers(state, cfg, qcfg)
+        enc = compress_wo_ec(bundle, state, cfg, qcfg)
+        out = decompress_wo_ec(bundle, enc, state.bound, cfg, qcfg)
+        assert out.shape == (cfg.H, cfg.W, 3)
+        # decoded render close to the quantized-forward render
+        img_q, _, _ = render_quantized(bundle, state, cfg, qcfg)
+        # the only difference: compress prunes PSD-invalid quantized points
+        assert float(jnp.mean(jnp.abs(out - img_q))) < 0.05
+
+    def test_bpp_formula(self):
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig()
+        bundle = init_quantizers(state, cfg, qcfg)
+        enc = compress_wo_ec(bundle, state, cfg, qcfg)
+        stats = analysis_wo_ec(enc, cfg, qcfg)
+        n = int(enc.num_active)
+        hw = cfg.H * cfg.W
+        # reference accounting: gaussianimage_covariance.py:484-507
+        assert np.isclose(stats["position_bpp"], (n * 2 * 12 + 128) / hw)
+        assert np.isclose(stats["cholesky_bpp"], (n * 3 * 10 + 192) / hw)
+        assert np.isclose(stats["feature_dc_bpp"], (n * 3 * 6 + 192) / hw)
+        assert np.isclose(stats["bpp"], stats["position_bpp"] +
+                          stats["cholesky_bpp"] + stats["feature_dc_bpp"])
+
+
+class TestQuantTraining:
+    def test_full_pipeline_improves(self):
+        H, W = 32, 48
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        gt = np.stack([xx / W, yy / H, 0.5 * np.ones_like(xx)], -1).astype(np.float32)
+        cfg = GaussianConfig(H=H, W=W, max_num_points=64)
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.02)
+        qcfg = QuantConfig()
+        res = fit_image_quantized(gt, cfg, tcfg, qcfg, num_points=40,
+                                  warmup_iter=100, seed=1)
+        assert res.best_psnr > 14.0
+        stats = encode_decode_eval(res.state, res.bundle, gt, cfg, qcfg, n_renders=3)
+        assert stats["psnr"] > 14.0
+        assert stats["bpp"] > 0
+        assert np.isfinite(stats["rendering_fps"])

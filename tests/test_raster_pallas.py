@@ -1,0 +1,82 @@
+"""Pallas rasterizer (interpret mode on CPU) vs the XLA tiled path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussianimage_plus_tpu.core import project_gaussians_2d_covariance
+from gaussianimage_plus_tpu.core.binning import bin_gaussians
+from gaussianimage_plus_tpu.core.render_tiled import rasterize_tiled
+from gaussianimage_plus_tpu.kernels.raster_pallas import rasterize_pallas
+
+
+def make_scene(n=60, H=48, W=80, seed=0, saturate=False):
+    rng = np.random.default_rng(seed)
+    xy = np.stack([rng.uniform(0, W, n), rng.uniform(0, H, n)], -1).astype(np.float32)
+    a = rng.uniform(2.0, 60.0, n)
+    c = rng.uniform(2.0, 60.0, n)
+    b = rng.uniform(-0.8, 0.8, n) * np.sqrt(a * c)
+    cov = np.stack([a, b, c], -1).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacity = (np.full((n,), 2.0) if saturate else np.ones((n,))).astype(np.float32)
+    return (jnp.asarray(xy), jnp.asarray(cov), jnp.asarray(colors),
+            jnp.asarray(opacity), H, W)
+
+
+def setup(xy, cov, H, W, cap=64):
+    proj = project_gaussians_2d_covariance(xy, cov, H, W)
+    bins = bin_gaussians(proj, H, W, cap=cap)
+    return proj, bins
+
+
+class TestPallasForward:
+    def test_matches_xla_tiled(self):
+        xy, cov, colors, opacity, H, W = make_scene()
+        proj, bins = setup(xy, cov, H, W)
+        img_p = rasterize_pallas(proj.xys, proj.conics, colors, opacity,
+                                 bins.ids, bins.mask, H, W)
+        img_x = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
+                                bins.ids, bins.mask, H, W)
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_jit(self):
+        xy, cov, colors, opacity, H, W = make_scene(seed=3)
+        proj, bins = setup(xy, cov, H, W)
+        f = jax.jit(lambda c: rasterize_pallas(proj.xys, proj.conics, c, opacity,
+                                               bins.ids, bins.mask, H, W))
+        img = f(colors)
+        img_x = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
+                                bins.ids, bins.mask, H, W)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(img_x), atol=1e-5)
+
+
+class TestPallasVJP:
+    def _grads(self, raster, xy, cov, colors, opacity, H, W, bins, proj, seed=7):
+        rng = np.random.default_rng(seed)
+        cot = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+
+        def loss(args):
+            xys, conics, col, op = args
+            img = raster(xys, conics, col, op, bins.ids, bins.mask, H, W)
+            return jnp.sum(jnp.clip(img, 0, 1) * cot)
+
+        return jax.grad(loss)((proj.xys, proj.conics, colors, opacity))
+
+    def test_vjp_matches_xla(self):
+        xy, cov, colors, opacity, H, W = make_scene(n=40, seed=5)
+        proj, bins = setup(xy, cov, H, W)
+        g_p = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W, bins, proj)
+        g_x = self._grads(rasterize_tiled, xy, cov, colors, opacity, H, W, bins, proj)
+        for a, b, name in zip(g_p, g_x, ["xys", "conics", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-3, err_msg=name)
+
+    def test_vjp_matches_xla_saturated(self):
+        xy, cov, colors, opacity, H, W = make_scene(n=30, seed=6, saturate=True)
+        proj, bins = setup(xy, cov, H, W)
+        g_p = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W, bins, proj)
+        g_x = self._grads(rasterize_tiled, xy, cov, colors, opacity, H, W, bins, proj)
+        for a, b, name in zip(g_p, g_x, ["xys", "conics", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-3, err_msg=name)
