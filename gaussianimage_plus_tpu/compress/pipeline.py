@@ -67,7 +67,13 @@ class QuantConfig:
 
 @struct.dataclass
 class QuantizerBundle:
-    """Learned quantizer parameters + optimizer states."""
+    """Learned quantizer parameters + optimizer states.
+
+    ``color_vq`` carries the ResidualVQ codebooks when
+    ``color_quant == 'vq'`` (EMA-updated inside the quantized forward, no
+    optimizer — matching vector-quantize-pytorch's codebook handling); the
+    LSQ ``color`` params are unused in that mode.
+    """
 
     xy: UniformQuantParams
     cov: HybridQuantParams
@@ -76,6 +82,7 @@ class QuantizerBundle:
     cov_opt: Any
     color_opt: Any
     step: jax.Array  # shared schedule counter (all schedulers step together)
+    color_vq: Any = None
 
 
 def _masked_min_max(x: jax.Array, active: jax.Array):
@@ -138,11 +145,24 @@ def init_quantizers(state: GaussianState, cfg: GaussianConfig,
     cov_p = HybridQuantParams(
         cov=_uniform_init_masked(cov_eff[:, 1:2], active, qcfg.cov_bit))
     col_p = _uniform_init_masked(colors_of(state.params, cfg), active, qcfg.color_bit)
+    color_vq = None
+    if qcfg.color_quant == "vq":
+        # VectorQuantizer(codebook_dim=3, codebook_size=8, num_quantizers=2,
+        # kmeans_iters=5) — gaussianimage_covariance.py:137-138
+        from .residual_vq import init_residual_vq
+
+        colors = colors_of(state.params, cfg)
+        # kmeans over active rows only: replace inactive with the first active
+        first = jnp.argmax(active)
+        colors = jnp.where(active[:, None], colors, colors[first])
+        color_vq = init_residual_vq(colors, num_quantizers=2, codebook_size=8,
+                                    key=jax.random.PRNGKey(0), kmeans_iters=5)
     xy_tx, cov_tx, col_tx = make_quantizer_opts(qcfg)
     return QuantizerBundle(
         xy=xy_p, cov=cov_p, color=col_p,
         xy_opt=xy_tx.init(xy_p), cov_opt=cov_tx.init(cov_p),
-        color_opt=col_tx.init(col_p), step=jnp.zeros((), jnp.int32))
+        color_opt=col_tx.init(col_p), step=jnp.zeros((), jnp.int32),
+        color_vq=color_vq)
 
 
 def quantize_attributes(bundle: QuantizerBundle, state: GaussianState,
@@ -164,9 +184,17 @@ def quantize_attributes(bundle: QuantizerBundle, state: GaussianState,
         [var_dq[:, 0:1], cov_dq, var_dq[:, 1:2]], axis=1)
     code_cov3 = jnp.concatenate(
         [code_var[:, 0:1], code_cov, code_var[:, 1:]], axis=1)
-    colors, code_col = _uniform_fwd(bundle.color, colors_of(state.params, cfg),
-                                    qcfg.color_bit)
-    codes = {"xy": code_xy, "cov": code_cov3, "color": code_col}
+    raw_colors = colors_of(state.params, cfg)
+    if qcfg.color_quant == "vq":
+        from .residual_vq import residual_vq_forward
+
+        colors, _vq_loss, code_col, new_vq = residual_vq_forward(
+            bundle.color_vq, raw_colors, update=True)
+        codes = {"xy": code_xy, "cov": code_cov3, "color": code_col,
+                 "color_vq_state": new_vq}
+    else:
+        colors, code_col = _uniform_fwd(bundle.color, raw_colors, qcfg.color_bit)
+        codes = {"xy": code_xy, "cov": code_cov3, "color": code_col}
     return means, cov_elements, colors, codes, log_state
 
 
@@ -195,11 +223,11 @@ def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBu
 
         def objective(params, xy_p, cov_p, col_p):
             b = bundle.replace(xy=xy_p, cov=cov_p, color=col_p)
-            img, _, _ = render_quantized(b, state.replace(params=params), cfg, qcfg)
-            return loss_fn(img, gt, "L2"), img
+            img, codes, _ = render_quantized(b, state.replace(params=params), cfg, qcfg)
+            return loss_fn(img, gt, "L2"), (img, codes)
 
         grad_fn = jax.value_and_grad(objective, argnums=(0, 1, 2, 3), has_aux=True)
-        (loss, img), (g_model, g_xy, g_cov, g_col) = grad_fn(
+        (loss, (img, codes)), (g_model, g_xy, g_cov, g_col) = grad_fn(
             state.params, bundle.xy, bundle.cov, bundle.color)
 
         upd, model_opt_state = model_tx.update(g_model, model_opt_state, state.params)
@@ -215,7 +243,9 @@ def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBu
 
         bundle2 = bundle.replace(xy=xy_p, cov=cov_p, color=col_p,
                                  xy_opt=xy_opt, cov_opt=cov_opt,
-                                 color_opt=col_opt, step=bundle.step + 1)
+                                 color_opt=col_opt, step=bundle.step + 1,
+                                 color_vq=codes.get("color_vq_state",
+                                                    bundle.color_vq))
         cur_psnr = psnr_fn(img, gt)
         return (state.replace(params=params), model_opt_state, bundle2), (loss, cur_psnr)
 
@@ -250,8 +280,14 @@ def compress_wo_ec(bundle: QuantizerBundle, state: GaussianState,
     cov_dq, code_cov = _uniform_fwd(bundle.cov.cov, cov_eff[:, 1:2], qcfg.cov_bit)
     cov_elements = jnp.concatenate([var_dq[:, 0:1], cov_dq, var_dq[:, 1:2]], axis=1)
     code_cov3 = jnp.concatenate([code_var[:, 0:1], code_cov, code_var[:, 1:]], axis=1)
-    colors, code_col = _uniform_fwd(bundle.color, colors_of(state.params, cfg),
-                                    qcfg.color_bit)
+    raw_colors = colors_of(state.params, cfg)
+    if qcfg.color_quant == "vq":
+        from .residual_vq import residual_vq_forward
+
+        colors, _, code_col, _ = residual_vq_forward(
+            bundle.color_vq, raw_colors, update=False)
+    else:
+        colors, code_col = _uniform_fwd(bundle.color, raw_colors, qcfg.color_bit)
     ok = psd_valid_mask(cov_elements)
     active = state.active & ok
     return Encoding(means=means, quant_means=code_xy, quant_cov=code_cov3,
@@ -271,7 +307,12 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
     var = log_decompress(enc.log_state, enc.quant_cov[:, ::2])
     cov_mid = uniform_decompress(bundle.cov.cov, enc.quant_cov[:, 1:2])
     cov_elements = jnp.concatenate([var[:, 0:1], cov_mid, var[:, 1:2]], axis=1)
-    colors = uniform_decompress(bundle.color, enc.color_codes)
+    if qcfg.color_quant == "vq":
+        from .residual_vq import residual_vq_decode
+
+        colors = residual_vq_decode(bundle.color_vq, enc.color_codes)
+    else:
+        colors = uniform_decompress(bundle.color, enc.color_codes)
     dummy = GaussianState(
         params=GaussianParams(xyz=means, cov2d=cov_elements, features=colors),
         active=enc.active, bound=bound,
@@ -280,14 +321,26 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
                   colors_override=colors)
 
 
-def analysis_wo_ec(enc: Encoding, cfg: GaussianConfig, qcfg: QuantConfig) -> dict:
-    """bpp from bit widths (analysis_wo_ec lsq branches,
-    gaussianimage_covariance.py:484-507): each attribute charges
-    codes*bitwidth + 2 fp32 per channel for the quantizer grid."""
+def analysis_wo_ec(enc: Encoding, cfg: GaussianConfig, qcfg: QuantConfig,
+                   bundle: Optional[QuantizerBundle] = None) -> dict:
+    """bpp from bit widths (analysis_wo_ec,
+    gaussianimage_covariance.py:469-509): lsq attributes charge
+    codes*bitwidth + 2 fp32 per channel for the quantizer grid; the vq color
+    branch charges fp32 codebooks + ceil(log2(max_index)) per index
+    (:487-493)."""
+    import numpy as np
+
     n = int(enc.num_active)
     position_bits = n * 2 * qcfg.xy_bit + 32 * 2 * 2
     cholesky_bits = n * 3 * hybrid_size(qcfg.cov_bit, qcfg.cov_bit) + 32 * 3 * 2
-    feature_bits = n * 3 * qcfg.color_bit + 32 * 3 * 2
+    if qcfg.color_quant == "vq" and bundle is not None:
+        codebook_bits = sum(int(np.prod(cb.embed.shape)) * 32
+                            for cb in bundle.color_vq.layers)
+        idx = np.asarray(enc.color_codes)[np.asarray(enc.active)]
+        max_bit = float(np.ceil(np.log2(max(int(idx.max()), 1) + 1e-9))) if idx.size else 0
+        feature_bits = idx.size * max_bit + codebook_bits
+    else:
+        feature_bits = n * 3 * qcfg.color_bit + 32 * 3 * 2
     hw = cfg.H * cfg.W
     return {
         "bpp": (position_bits + cholesky_bits + feature_bits) / hw,

@@ -14,6 +14,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.gaussian_image import GaussianConfig, GaussianState, prune
 from ..train.losses import ms_ssim
@@ -121,11 +122,25 @@ def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_renders
 
-    stats = analysis_wo_ec(enc, cfg, qcfg)
+    stats = analysis_wo_ec(enc, cfg, qcfg, bundle)
     stats.update({
         "psnr": float(psnr_fn(out, gt)),
         "ms_ssim": float(ms_ssim(out, gt)),
         "rendering_time": dt,
         "rendering_fps": 1.0 / dt,
     })
+
+    # ANS-recompressed rate (bpp_wc): quantized-Gaussian global model over the
+    # cov and color code streams (train_quantize.py:250-252 — position keeps
+    # its fixed-width rate).
+    from .entropy import gaussian_global_bits
+
+    active = np.asarray(enc.active)
+    hw = cfg.H * cfg.W
+    cov_codes = np.asarray(enc.quant_cov)[active]
+    col_codes = np.asarray(enc.color_codes)[active]
+    stats["cholesky_bpp_wc"] = gaussian_global_bits(cov_codes) / hw
+    stats["feature_dc_bpp_wc"] = gaussian_global_bits(col_codes) / hw
+    stats["bpp_wc"] = (stats["position_bpp"] + stats["cholesky_bpp_wc"]
+                       + stats["feature_dc_bpp_wc"])
     return stats

@@ -97,3 +97,19 @@ class TestQuantTraining:
         assert stats["psnr"] > 14.0
         assert stats["bpp"] > 0
         assert np.isfinite(stats["rendering_fps"])
+
+
+class TestVQColorPath:
+    def test_vq_roundtrip_and_bpp(self):
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig(color_quant="vq")
+        bundle = init_quantizers(state, cfg, qcfg)
+        assert bundle.color_vq is not None
+        img_q, codes, _ = render_quantized(bundle, state, cfg, qcfg)
+        assert codes["color"].shape == (cfg.max_num_points, 2)  # 2 RVQ layers
+        enc = compress_wo_ec(bundle, state, cfg, qcfg)
+        out = decompress_wo_ec(bundle, enc, state.bound, cfg, qcfg)
+        assert out.shape == (cfg.H, cfg.W, 3)
+        stats = analysis_wo_ec(enc, cfg, qcfg, bundle)
+        # 2 layers x 8 codebook entries x 3 dims x 32 bits = 1536 codebook bits
+        assert stats["feature_dc_bpp"] * cfg.H * cfg.W >= 1536
