@@ -13,6 +13,7 @@ driver; CPU if forced).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -21,6 +22,11 @@ import numpy as np
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gaussianimage_plus_tpu.models import GaussianConfig, init_state, render
@@ -52,24 +58,26 @@ def main():
         img = render(s, cfg)
         return img, img[0, 0, 0] * 0.0
 
-    img, fb = jax.block_until_ready(render_chained(state, jnp.zeros(())))
+    img, fb = render_chained(state, jnp.zeros(()))
+    _ = np.asarray(img)  # host fetch: the only reliable sync on this runtime
     n_rend = 100
     t0 = time.perf_counter()
     for _ in range(n_rend):
         img, fb = render_chained(state, fb)
-    jax.block_until_ready(img)
+    _ = np.asarray(img)
     dt_render = (time.perf_counter() - t0) / n_rend
     fps = 1.0 / dt_render
 
     # ---- train-step throughput (fwd+bwd+adam), chunked like production ----
     ts = init_train_state(cfg, tcfg, N, seed=0)
     chunk = 100
-    ts, _ = jax.block_until_ready(train_chunk(ts, gt_j, cfg, tcfg, chunk, True, False))
+    ts, _ = train_chunk(ts, gt_j, cfg, tcfg, chunk, True, False)
+    _ = np.asarray(ts.gaussians.params.xyz)
     t0 = time.perf_counter()
     n_chunks = 3
     for _ in range(n_chunks):
         ts, _ = train_chunk(ts, gt_j, cfg, tcfg, chunk, True, False)
-    jax.block_until_ready(ts.gaussians.params.xyz)
+    _ = np.asarray(ts.gaussians.params.xyz)
     dt_step = (time.perf_counter() - t0) / (n_chunks * chunk)
     mpix_s = H * W / dt_step / 1e6
 

@@ -63,7 +63,7 @@ def _membership(proj: Projected, tile_bounds: Tuple[int, int],
 
 def bin_gaussians(proj: Projected, H: int, W: int, cap: int = 256,
                   block_h: int = BLOCK_H, block_w: int = BLOCK_W,
-                  method: str = "scatter") -> TileBins:
+                  method: str = "top_k") -> TileBins:
     """Build per-tile member lists. ``method``: 'scatter' | 'top_k'.
 
     Both methods are exact and deterministic; they differ only in which XLA
@@ -87,7 +87,10 @@ def bin_gaussians(proj: Projected, H: int, W: int, cap: int = 256,
     elif method == "top_k":
         # key: members get N - index (descending over index), non-members 0.
         key = jnp.where(member, N - jnp.arange(N, dtype=jnp.int32)[None, :], 0)
-        topv, _ = jax.lax.top_k(key, cap)                           # [T, cap] desc
+        k_eff = min(cap, N)
+        topv, _ = jax.lax.top_k(key, k_eff)                         # [T, k_eff] desc
+        if k_eff < cap:
+            topv = jnp.pad(topv, ((0, 0), (0, cap - k_eff)))
         mask = topv > 0
         ids = jnp.where(mask, N - topv, 0)
     else:

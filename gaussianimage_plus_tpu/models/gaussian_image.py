@@ -67,7 +67,7 @@ class GaussianConfig:
     tile_cap: int = struct.field(pytree_node=False, default=256)
     block_h: int = struct.field(pytree_node=False, default=BLOCK_H)
     block_w: int = struct.field(pytree_node=False, default=BLOCK_W)
-    bin_method: str = struct.field(pytree_node=False, default="scatter")
+    bin_method: str = struct.field(pytree_node=False, default="top_k")
     # rasterizer backend: 'pallas' (fused TPU kernels), 'xla' (pure-JAX tiled
     # path), or 'auto' (pallas on TPU, xla elsewhere)
     raster_backend: str = struct.field(pytree_node=False, default="auto")
