@@ -185,9 +185,14 @@ def render(state: GaussianState, cfg: GaussianConfig,
     """
     proj = project(state.params, state.active, state.bound, cfg,
                    cov_override=cov_override, means_override=means_override)
-    bins = bin_gaussians(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
-                         block_h=cfg.block_h, block_w=cfg.block_w,
-                         method=cfg.bin_method)
+    if cfg.bin_method == "pallas":
+        from ..kernels.binning_pallas import bin_gaussians_pallas
+        bins = bin_gaussians_pallas(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
+                                    block_h=cfg.block_h, block_w=cfg.block_w)
+    else:
+        bins = bin_gaussians(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
+                             block_h=cfg.block_h, block_w=cfg.block_w,
+                             method=cfg.bin_method)
     colors = colors_override if colors_override is not None else colors_of(state.params, cfg)
     opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)  # fixed 1 (:58)
     backend = cfg.raster_backend

@@ -137,3 +137,20 @@ class TestTiledVJP:
         img_w = render_dense(proj, jnp.ones((1, 3)), opacity, H, W)
         # with color=1 each pixel holds clamped alpha; sum = total weight
         assert np.isclose(g, float(jnp.sum(img_w[..., 0])), rtol=1e-5)
+
+
+class TestPallasBinning:
+    def test_matches_topk(self):
+        from gaussianimage_plus_tpu.kernels.binning_pallas import bin_gaussians_pallas
+        for seed, n, H, W, cap in [(3, 120, 48, 80, 16), (7, 60, 64, 64, 256),
+                                   (11, 300, 96, 128, 32)]:
+            xy, cov, colors, opacity, H_, W_ = make_scene(n=n, H=H, W=W, seed=seed)
+            proj = project_gaussians_2d_covariance(xy, cov, H, W)
+            b_ref = bin_gaussians(proj, H, W, cap=cap, method="top_k")
+            b_pal = bin_gaussians_pallas(proj, H, W, cap=cap)
+            np.testing.assert_array_equal(np.asarray(b_pal.count), np.asarray(b_ref.count))
+            np.testing.assert_array_equal(np.asarray(b_pal.mask), np.asarray(b_ref.mask))
+            np.testing.assert_array_equal(
+                np.asarray(b_pal.ids)[np.asarray(b_pal.mask)],
+                np.asarray(b_ref.ids)[np.asarray(b_ref.mask)],
+                err_msg=f"seed={seed}")
