@@ -214,18 +214,20 @@ def scatter_tile_grads(ids, mask, v_xy_x, v_xy_y, v_con_x, v_con_y, v_con_z,
     than issuing them separately.
     """
     fmask = mask.astype(v_rgb_tile.dtype)
+    C = v_rgb_tile.shape[-1]
     packed = jnp.concatenate([
         jnp.stack([v_xy_x, v_xy_y, v_con_x, v_con_y, v_con_z], axis=-1),
         v_rgb_tile,
         v_opac_tile[..., None],
-    ], axis=-1) * fmask[..., None]                       # [T, K, 9]
+    ], axis=-1) * fmask[..., None]                       # [T, K, 6+C]
+    width = 6 + C
     num = opacity.reshape(-1).shape[0]
-    acc = jnp.zeros((num, 9), packed.dtype).at[ids.reshape(-1)].add(
-        packed.reshape(-1, 9))
+    acc = jnp.zeros((num, width), packed.dtype).at[ids.reshape(-1)].add(
+        packed.reshape(-1, width))
     v_xys = acc[:, 0:2]
     v_conics = acc[:, 2:5]
-    v_colors = acc[:, 5:8]
-    v_opacity = acc[:, 8].reshape(opacity.shape)
+    v_colors = acc[:, 5:5 + C]
+    v_opacity = acc[:, 5 + C].reshape(opacity.shape)
     return v_xys, v_conics, v_colors, v_opacity
 
 

@@ -30,6 +30,33 @@ def save_checkpoint(path, state, extra: Optional[dict] = None) -> None:
         ckptr.save(path, payload, force=True)
 
 
+def _rebuild(template, data):
+    """Fill ``template``'s pytree with values from the orbax-restored nested
+    dict, matching by attribute/key names (dict ordering differs from
+    dataclass field order, so positional unflatten would scramble leaves)."""
+    from jax.tree_util import tree_map_with_path, GetAttrKey, DictKey, SequenceKey
+
+    def fetch(path, leaf):
+        node = data
+        for k in path:
+            if isinstance(k, GetAttrKey):
+                node = node[k.name]
+            elif isinstance(k, DictKey):
+                node = node[k.key]
+            elif isinstance(k, SequenceKey):
+                node = node[k.idx]
+            else:
+                node = node[str(k)]
+        return jnp_asarray_like(node, leaf)
+
+    def jnp_asarray_like(v, leaf):
+        import jax.numpy as jnp
+
+        return jnp.asarray(v, dtype=leaf.dtype).reshape(leaf.shape)
+
+    return tree_map_with_path(fetch, template)
+
+
 def load_checkpoint(path, template_state):
     """Restore (GaussianState, extra dict). ``template_state`` supplies the
     pytree structure/shapes (build with init_state at the same config)."""
@@ -38,7 +65,5 @@ def load_checkpoint(path, template_state):
     path = Path(path).absolute()
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path)
-    state = jax.tree.unflatten(
-        jax.tree.structure(template_state),
-        jax.tree.leaves(restored["state"]))
+    state = _rebuild(template_state, restored["state"])
     return state, restored.get("extra", {})

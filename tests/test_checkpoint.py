@@ -1,0 +1,27 @@
+"""Orbax checkpoint save/restore round-trip (resume semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussianimage_plus_tpu.models import GaussianConfig, init_state, render
+from gaussianimage_plus_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        cfg = GaussianConfig(H=32, W=48, max_num_points=64)
+        st = init_state(cfg, 40, jax.random.PRNGKey(0))
+        # make it non-trivial: deactivate some, change bound rows
+        st = st.replace(active=st.active.at[5].set(False),
+                        num_active=st.num_active - 1)
+        save_checkpoint(tmp_path / "ck", st, extra={"psnr": 31.5})
+
+        template = init_state(cfg, 1, jax.random.PRNGKey(1))
+        restored, extra = load_checkpoint(tmp_path / "ck", template)
+        for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(extra["psnr"]) == 31.5
+        # the restored state renders identically
+        np.testing.assert_allclose(np.asarray(render(st, cfg)),
+                                   np.asarray(render(restored, cfg)), atol=1e-7)

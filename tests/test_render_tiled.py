@@ -154,3 +154,39 @@ class TestPallasBinning:
                 np.asarray(b_pal.ids)[np.asarray(b_pal.mask)],
                 np.asarray(b_ref.ids)[np.asarray(b_ref.mask)],
                 err_msg=f"seed={seed}")
+
+
+class TestNdChannels:
+    def test_five_channel_raster(self):
+        """Channel-generic accumulation (nd_rasterize_forward_sum capability,
+        forward.cu:694-897): the tiled rasterizer is C-generic."""
+        rng = np.random.default_rng(21)
+        xy, cov, _, opacity, H, W = make_scene(n=30, seed=21)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        bins = bin_gaussians(proj, H, W, cap=64)
+        C = 5
+        colors = jnp.asarray(rng.uniform(0, 1, (30, C)).astype(np.float32))
+        img = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
+                              bins.ids, bins.mask, H, W)
+        assert img.shape == (H, W, C)
+        # channel 0 of a 5-channel render == channel 0 of a 3-channel render
+        img3 = rasterize_tiled(proj.xys, proj.conics, colors[:, :3], opacity,
+                               bins.ids, bins.mask, H, W)
+        np.testing.assert_allclose(np.asarray(img[..., 0]),
+                                   np.asarray(img3[..., 0]), atol=1e-6)
+
+    def test_five_channel_grads(self):
+        rng = np.random.default_rng(22)
+        xy, cov, _, opacity, H, W = make_scene(n=20, seed=22)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        bins = bin_gaussians(proj, H, W, cap=64)
+        C = 5
+        colors = jnp.asarray(rng.uniform(0, 1, (20, C)).astype(np.float32))
+
+        def f(c):
+            img = rasterize_tiled(proj.xys, proj.conics, c, opacity,
+                                  bins.ids, bins.mask, H, W)
+            return jnp.sum(img ** 2)
+
+        g = jax.grad(f)(colors)
+        assert g.shape == colors.shape and np.isfinite(np.asarray(g)).all()
