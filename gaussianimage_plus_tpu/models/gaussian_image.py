@@ -71,6 +71,11 @@ class GaussianConfig:
     # rasterizer backend: 'pallas' (fused TPU kernels), 'xla' (pure-JAX tiled
     # path), or 'auto' (pallas on TPU, xla elsewhere)
     raster_backend: str = struct.field(pytree_node=False, default="auto")
+    # PSD handling: 'prune' = reference behavior (drop non-PSD points,
+    # non_semi_definite_prune); 'clamp' = quality mode — project the effective
+    # covariance back onto the PSD cone after each update, so no capacity is
+    # ever destroyed (the reference's churn removes up to half the points).
+    psd_mode: str = struct.field(pytree_node=False, default="prune")
 
 
 @struct.dataclass
@@ -207,6 +212,27 @@ def render(state: GaussianState, cfg: GaussianConfig,
                  bins.ids, bins.mask, cfg.H, cfg.W,
                  cfg.block_h, cfg.block_w)
     return jnp.clip(img, 0.0, 1.0)
+
+
+def psd_clamp(params: GaussianParams, bound: jax.Array,
+              cfg: GaussianConfig, margin: float = 0.995,
+              min_var: float = 1e-3) -> GaussianParams:
+    """Project the covariance parameters so the effective covariance is PSD.
+
+    Quality-mode alternative to the reference's destructive prune: clamps the
+    effective variances to >= min_var and the off-diagonal to
+    ``margin * sqrt(var_x * var_y)``. Only meaningful for the 'covariance'
+    parameterization (cholesky/scale_rot are PSD by construction).
+    """
+    if cfg.param != "covariance":
+        return params
+    eff = params.cov2d + bound
+    a = jnp.maximum(eff[:, 0], min_var)
+    c = jnp.maximum(eff[:, 2], min_var)
+    lim = margin * jnp.sqrt(a * c)
+    b = jnp.clip(eff[:, 1], -lim, lim)
+    new_eff = jnp.stack([a, b, c], axis=-1)
+    return params.replace(cov2d=new_eff - bound)
 
 
 def psd_mask_effective(state: GaussianState, cfg: GaussianConfig) -> jax.Array:

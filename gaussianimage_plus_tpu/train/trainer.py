@@ -127,6 +127,9 @@ def train_step(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
     updates, opt_state = tx.update(grads, ts.opt_state, gs.params)
     updates = _mask_updates(updates, gs.active)
     params = optax.apply_updates(gs.params, updates)
+    if cfg.psd_mode == "clamp":
+        from ..models.gaussian_image import psd_clamp
+        params = psd_clamp(params, gs.bound, cfg)
 
     step = ts.step + 1
     cur_psnr = psnr_fn(img, gt)

@@ -143,3 +143,36 @@ class TestTrainer:
         ts, m2 = train_chunk(ts, gt, cfg, tcfg, 50, True, False)
         assert float(ts.best_psnr) >= best1
         assert float(ts.best_psnr) >= float(np.max(np.asarray(m2["psnr"])))
+
+
+class TestPsdClamp:
+    def test_projects_to_psd(self):
+        from gaussianimage_plus_tpu.models.gaussian_image import psd_clamp
+        from gaussianimage_plus_tpu.core import psd_valid_mask
+        cfg = small_cfg()
+        st = init_state(cfg, 30, jax.random.PRNGKey(7))
+        # corrupt: negative variances and huge off-diagonals
+        bad = st.params.cov2d.at[:10, 0].set(-50.0).at[10:20, 1].set(100.0)
+        p = psd_clamp(st.params.replace(cov2d=bad), st.bound, cfg)
+        ok = psd_valid_mask(p.cov2d + st.bound)
+        assert bool(jnp.all(ok))
+
+    def test_noop_when_already_psd(self):
+        from gaussianimage_plus_tpu.models.gaussian_image import psd_clamp
+        cfg = small_cfg()
+        st = init_state(cfg, 30, jax.random.PRNGKey(8))
+        p = psd_clamp(st.params, st.bound, cfg)
+        np.testing.assert_allclose(np.asarray(p.cov2d),
+                                   np.asarray(st.params.cov2d), atol=1e-6)
+
+    def test_clamp_mode_trains_without_capacity_loss(self):
+        cfg = small_cfg(psd_mode="clamp")
+        tcfg = TrainConfig(iterations=100, grow_iter=1000, prune_iter=50, lr=0.05,
+                           adaptive_add=False, prune=False)
+        ts = init_train_state(cfg, tcfg, 32, seed=3)
+        gt = jnp.full((cfg.H, cfg.W, 3), 0.6)
+        ts, _ = train_chunk(ts, gt, cfg, tcfg, 100, False, False)
+        assert int(ts.gaussians.num_active) == 32
+        from gaussianimage_plus_tpu.models import psd_mask_effective
+        ok = np.asarray(psd_mask_effective(ts.gaussians, cfg))[:32]
+        assert ok.all()
