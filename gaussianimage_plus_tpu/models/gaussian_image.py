@@ -214,6 +214,22 @@ def render(state: GaussianState, cfg: GaussianConfig,
     return jnp.clip(img, 0.0, 1.0)
 
 
+def get_attributes(state: GaussianState, cfg: GaussianConfig) -> dict:
+    """Host-side export of the fitted attribute arrays (active rows only).
+
+    Reference: GaussianImage_Covariance.get_attributes
+    (gaussianimage_covariance.py:181-185).
+    """
+    import numpy as np
+
+    active = np.asarray(state.active)
+    return {
+        "coords": np.asarray(means_of(state.params, cfg))[active],
+        "covs": np.asarray(effective_cov2d(state.params, state.bound, cfg))[active],
+        "colors": np.asarray(colors_of(state.params, cfg))[active],
+    }
+
+
 def psd_clamp(params: GaussianParams, bound: jax.Array,
               cfg: GaussianConfig, margin: float = 0.995,
               min_var: float = 1e-3) -> GaussianParams:

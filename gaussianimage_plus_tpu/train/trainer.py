@@ -59,6 +59,14 @@ class TrainConfig:
     base_num_samples: int = struct.field(pytree_node=False, default=1000)
     lr_step_size: int = struct.field(pytree_node=False, default=20000)
     lr_gamma: float = struct.field(pytree_node=False, default=0.5)
+    # per-group learning-rate multipliers (1.0 = reference parity). The
+    # covariance model's positions live in raw pixels, so at lr=0.018 they
+    # move ~0.018 px/step — an order of magnitude slower than the Cholesky
+    # model's tanh-reparameterized positions; xyz_lr_scale > 1 compensates
+    # (quality mode).
+    xyz_lr_scale: float = struct.field(pytree_node=False, default=1.0)
+    cov_lr_scale: float = struct.field(pytree_node=False, default=1.0)
+    color_lr_scale: float = struct.field(pytree_node=False, default=1.0)
 
 
 @struct.dataclass
@@ -126,6 +134,11 @@ def train_step(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
     (loss, img), grads = jax.value_and_grad(objective, has_aux=True)(gs.params)
     updates, opt_state = tx.update(grads, ts.opt_state, gs.params)
     updates = _mask_updates(updates, gs.active)
+    if (tcfg.xyz_lr_scale, tcfg.cov_lr_scale, tcfg.color_lr_scale) != (1.0, 1.0, 1.0):
+        updates = updates.replace(
+            xyz=updates.xyz * tcfg.xyz_lr_scale,
+            cov2d=updates.cov2d * tcfg.cov_lr_scale,
+            features=updates.features * tcfg.color_lr_scale)
     params = optax.apply_updates(gs.params, updates)
     if cfg.psd_mode == "clamp":
         from ..models.gaussian_image import psd_clamp
