@@ -111,8 +111,6 @@ def compress_categorical(matrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(compressed_words, histogram, unique_values) — utils.py:61-77."""
     flat = np.asarray(matrix).reshape(-1)
     unique, inverse, counts = np.unique(flat, return_inverse=True,
-                                        return_counts=True)[0], None, None
-    unique, inverse, counts = np.unique(flat, return_inverse=True,
                                         return_counts=True)
     unique = unique.astype(_minimized_dtype(int(unique.min()), int(unique.max())))
     words = encode_rans(inverse.astype(np.int32), counts.astype(np.uint32))

@@ -37,7 +37,7 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _make_kernel(tb_x: int, tb: int, cap: int, ko: int, n_chunks: int):
+def _make_kernel(tb_x: int, tb: int, cap: int):
     def kernel(bbox_ref, out_ref, cnt_ref):
         tblk = pl.program_id(0)
         c = pl.program_id(1)
@@ -118,7 +118,7 @@ def bin_gaussians_pallas(proj: Projected, H: int, W: int, cap: int = 256,
         scratch_shapes=[pltpu.SMEM((tb,), jnp.int32)],
     )
     out = pl.pallas_call(
-        _make_kernel(tb_x, tb, cap, ko, n_chunks),
+        _make_kernel(tb_x, tb, cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, ko, 8), jnp.float32),
         interpret=_interpret(),

@@ -125,9 +125,6 @@ def _loss_tile_sharded(params: GaussianParams, state: GaussianState,
     local SSE, psum to the full-image mean. Differentiating through this
     shard_map body auto-inserts the gradient psum over ``axis`` for the
     replicated Gaussian parameters."""
-    from ..core.gaussian2d import tile_bounds_for
-    from ..core.render_tiled import _tiles_to_image  # noqa: F401
-
     proj = project(params, state.active, state.bound, cfg)
     # local tile range: shard_map has already split gt_tiles [T_local, P, 3]
     n_local = gt_tiles.shape[0]

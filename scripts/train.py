@@ -43,6 +43,10 @@ def parse_args(argv):
     p.add_argument("--num_images", type=int, default=None, help="limit image count")
     p.add_argument("--log_dir", type=str, default="./checkpoints")
     p.add_argument("--log_every", type=int, default=10000)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="checkpoint dir to resume/eval from (reference "
+                        "train.py:61-77 semantics: load state, skip to eval "
+                        "when --iterations 0)")
     return p.parse_args(argv)
 
 
@@ -96,8 +100,19 @@ def main(argv):
             grow_iter=args.grow_iter, adaptive_add=args.adaptive_add,
             prune=args.prune, loss_type=args.loss_type)
         img_log = LogWriter(log_dir / image_path.stem)
-        res = fit_image(gt, cfg, tcfg, args.num_points, seed=args.seed,
-                        log_every=args.log_every, logger=img_log)
+        if args.model_path:
+            from gaussianimage_plus_tpu.models import init_state
+            from gaussianimage_plus_tpu.utils.checkpoint import load_checkpoint
+            import jax as _jax
+            template = init_state(cfg, 1, _jax.random.PRNGKey(0))
+            state, extra = load_checkpoint(
+                Path(args.model_path) / image_path.stem / "gaussian_model", template)
+            from gaussianimage_plus_tpu.train.trainer import FitResult
+            res = FitResult(state=state, best_psnr=float(extra.get("psnr", 0.0)),
+                            best_iter=0, train_time=0.0, history={})
+        else:
+            res = fit_image(gt, cfg, tcfg, args.num_points, seed=args.seed,
+                            log_every=args.log_every, logger=img_log)
         ev = evaluate(res.state, gt, cfg)
         save_checkpoint(log_dir / image_path.stem / "gaussian_model", res.state,
                         extra={"psnr": res.best_psnr, "ms_ssim": ev["ms_ssim"]})
