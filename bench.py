@@ -46,24 +46,31 @@ def main():
     tcfg = TrainConfig(iterations=1000, lr=0.018)
     gt_j = jnp.asarray(gt)
 
-    # ---- decode/render FPS (reference protocol: 1 warmup + 100 timed) ----
-    # Each render depends on the previous output (a zero-valued nudge of the
-    # means) so identical in-flight executions can't be coalesced/deduped by
-    # the runtime — keeps the timing honest.
+    # ---- codec decode FPS (reference decompress_wo_ec protocol:
+    # dequantize + project + rasterize per call, 100 timed renders) ----
+    # Each decode depends on the previous output via a tiny visible nudge of
+    # the position codes (~1e-8 of a code step) so the runtime can't coalesce
+    # identical in-flight executions; sync is a host fetch.
+    from gaussianimage_plus_tpu.compress import (
+        QuantConfig, compress_wo_ec, decompress_wo_ec, init_quantizers)
+
     state = init_state(cfg, N, jax.random.PRNGKey(0))
+    qcfg = QuantConfig()
+    bundle = init_quantizers(state, cfg, qcfg)
+    enc = jax.jit(lambda s: compress_wo_ec(bundle, s, cfg, qcfg))(state)
 
     @jax.jit
-    def render_chained(s, feedback):
-        s = s.replace(params=s.params.replace(xyz=s.params.xyz + feedback))
-        img = render(s, cfg)
-        return img, img[0, 0, 0] * 0.0
+    def decode_chained(e, feedback):
+        e = e._replace(quant_means=e.quant_means + feedback)
+        img = decompress_wo_ec(bundle, e, state.bound, cfg, qcfg)
+        return img, img[0, 0, 0] * 1e-7
 
-    img, fb = render_chained(state, jnp.zeros(()))
+    img, fb = decode_chained(enc, jnp.zeros(()))
     _ = np.asarray(img)  # host fetch: the only reliable sync on this runtime
     n_rend = 100
     t0 = time.perf_counter()
     for _ in range(n_rend):
-        img, fb = render_chained(state, fb)
+        img, fb = decode_chained(enc, fb)
     _ = np.asarray(img)
     dt_render = (time.perf_counter() - t0) / n_rend
     fps = 1.0 / dt_render

@@ -296,10 +296,13 @@ def compress_wo_ec(bundle: QuantizerBundle, state: GaussianState,
 
 
 def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
-                     cfg: GaussianConfig, qcfg: QuantConfig) -> jax.Array:
+                     cfg: GaussianConfig, qcfg: QuantConfig,
+                     fast: bool = True) -> jax.Array:
     """Dequantize codes + one render pass (gaussianimage_covariance.py:445-467).
 
-    This is the decode-FPS path: a single fused jit program.
+    This is the decode-FPS path: a single fused jit program. ``fast=True``
+    uses the dense binning-free forward kernel (no per-tile cap — quality-mode
+    blending); ``fast=False`` keeps the capped binned path for strict parity.
     """
     from .quantizers import uniform_decompress
 
@@ -317,6 +320,10 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
         params=GaussianParams(xyz=means, cov2d=cov_elements, features=colors),
         active=enc.active, bound=bound,
         num_active=enc.num_active)
+    if fast and jax.default_backend() == "tpu":
+        from ..models.gaussian_image import render_fast
+        return render_fast(dummy, cfg, cov_override=cov_elements,
+                           means_override=means, colors_override=colors)
     return render(dummy, cfg, cov_override=cov_elements, means_override=means,
                   colors_override=colors)
 

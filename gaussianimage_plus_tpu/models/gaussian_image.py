@@ -251,6 +251,26 @@ def psd_clamp(params: GaussianParams, bound: jax.Array,
     return params.replace(cov2d=new_eff - bound)
 
 
+def render_fast(state: GaussianState, cfg: GaussianConfig,
+                cov_override: Optional[jax.Array] = None,
+                means_override: Optional[jax.Array] = None,
+                colors_override: Optional[jax.Array] = None) -> jax.Array:
+    """Forward-only render via the dense binning-free Pallas kernel.
+
+    The decode/eval fast path: identical blending math, NO per-tile cap
+    (blends every bbox member — the quality-mode semantics; differs from the
+    reference's capped rasterizer only in >cap-occupancy tiles). Falls back
+    to the regular path off-TPU."""
+    proj = project(state.params, state.active, state.bound, cfg,
+                   cov_override=cov_override, means_override=means_override)
+    colors = colors_override if colors_override is not None else colors_of(state.params, cfg)
+    opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)
+    from ..kernels.raster_dense_pallas import rasterize_dense_pallas
+    img = rasterize_dense_pallas(proj, colors, opacity, cfg.H, cfg.W,
+                                 cfg.block_h, cfg.block_w)
+    return jnp.clip(img, 0.0, 1.0)
+
+
 def psd_mask_effective(state: GaussianState, cfg: GaussianConfig) -> jax.Array:
     """PSD check on the *effective* covariance (check_non_semi_definite
     defaults to get_cov2d_elements, gaussianimage_covariance.py:373-378)."""

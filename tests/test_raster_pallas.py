@@ -80,3 +80,23 @@ class TestPallasVJP:
         for a, b, name in zip(g_p, g_x, ["xys", "conics", "colors", "opacity"]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=2e-3, err_msg=name)
+
+
+class TestDensePallas:
+    def test_matches_uncapped_tiled(self):
+        from gaussianimage_plus_tpu.kernels.raster_dense_pallas import rasterize_dense_pallas
+        xy, cov, colors, opacity, H, W = make_scene(n=60, seed=13)
+        proj, bins = setup(xy, cov, H, W, cap=64)  # 64 >> any tile count here
+        img_d = rasterize_dense_pallas(proj, colors, opacity, H, W)
+        img_b = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
+                                bins.ids, bins.mask, H, W)
+        np.testing.assert_allclose(np.asarray(img_d), np.asarray(img_b),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_invalid_culled(self):
+        from gaussianimage_plus_tpu.kernels.raster_dense_pallas import rasterize_dense_pallas
+        xy, cov, colors, opacity, H, W = make_scene(n=20, seed=14)
+        cov = cov.at[0].set(jnp.array([1.0, 2.0, 1.0]))  # non-invertible-ish det<0
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        img = rasterize_dense_pallas(proj, colors, opacity, H, W)
+        assert np.isfinite(np.asarray(img)).all()
