@@ -26,18 +26,30 @@ def _gaussian_window(win_size: int, sigma: float) -> jax.Array:
     return g / jnp.sum(g)
 
 
+def _band_matrix(n_in: int, k: int, win: jax.Array) -> jax.Array:
+    """[n_in-k+1, n_in] valid-mode sliding-window matrix, built on device
+    (A[i, i+j] = win[j]) — separable filtering as two matmuls rides the MXU
+    and avoids both conv edge cases and large embedded constants."""
+    n_out = n_in - k + 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    off = col - row
+    a = jnp.zeros((n_out, n_in), win.dtype)
+    valid = (off >= 0) & (off < k)
+    return jnp.where(valid, win[jnp.clip(off, 0, k - 1)], a)
+
+
 def _filter2d_separable(img: jax.Array, win: jax.Array) -> jax.Array:
-    """Depthwise separable valid-mode filtering on [B, H, W, C]."""
+    """Depthwise separable valid-mode filtering on [B, H, W, C] via band-matrix
+    matmuls: out = A_h @ X @ A_w^T per channel."""
     B, H, W, C = img.shape
     k = win.shape[0]
-    x = img.transpose(0, 3, 1, 2).reshape(B * C, 1, H, W)
-    kern_h = win.reshape(1, 1, k, 1)
-    kern_w = win.reshape(1, 1, 1, k)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID", dimension_numbers=dn)
-    Hn, Wn = x.shape[2], x.shape[3]
-    return x.reshape(B, C, Hn, Wn).transpose(0, 2, 3, 1)
+    A_h = _band_matrix(H, k, win)                     # [H-k+1, H]
+    A_w = _band_matrix(W, k, win)                     # [W-k+1, W]
+    x = img.transpose(0, 3, 1, 2)                     # [B, C, H, W]
+    x = jnp.einsum("oh,bchw->bcow", A_h, x)
+    x = jnp.einsum("pw,bchw->bchp", A_w, x)
+    return x.transpose(0, 2, 3, 1)
 
 
 def _ssim_components(x: jax.Array, y: jax.Array, win_size: int, sigma: float,
