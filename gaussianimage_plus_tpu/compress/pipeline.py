@@ -210,16 +210,24 @@ def render_quantized(bundle: QuantizerBundle, state: GaussianState,
 @functools.partial(jax.jit, static_argnames=("cfg", "qcfg", "model_lr", "n_steps"))
 def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBundle,
                       gt: jax.Array, cfg: GaussianConfig, qcfg: QuantConfig,
-                      model_lr: float, n_steps: int):
+                      model_lr: float, n_steps: int,
+                      best=None):
     """n quantization-aware steps (train_iter_quantize,
     gaussianimage_covariance.py:219-247): image loss only (vq_loss computed
     but never added, :224), model Adam + three quantizer Adams all stepped.
+
+    ``best`` is an optional (psnr, params, bundle_params) carry holding the
+    best-quantized-PSNR snapshot, updated per step in-graph (matching the
+    reference's per-iteration deepcopy, train_quantize.py:166-169).
     """
     model_tx = _adam(model_lr, 20000, 0.5, 1e-15)
     xy_tx, cov_tx, col_tx = make_quantizer_opts(qcfg)
+    if best is None:
+        best = (jnp.full((), -jnp.inf), state.params,
+                (bundle.xy, bundle.cov, bundle.color))
 
     def one_step(carry, _):
-        state, model_opt_state, bundle = carry
+        state, model_opt_state, bundle, best = carry
 
         def objective(params, xy_p, cov_p, col_p):
             b = bundle.replace(xy=xy_p, cov=cov_p, color=col_p)
@@ -247,11 +255,20 @@ def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBu
                                  color_vq=codes.get("color_vq_state",
                                                     bundle.color_vq))
         cur_psnr = psnr_fn(img, gt)
-        return (state.replace(params=params), model_opt_state, bundle2), (loss, cur_psnr)
+        best_psnr, best_params, best_qp = best
+        improved = cur_psnr > best_psnr
+        take = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(improved, x, y), a, b)
+        best = (jnp.where(improved, cur_psnr, best_psnr),
+                take(params, best_params),
+                take((xy_p, cov_p, col_p), best_qp))
+        return ((state.replace(params=params), model_opt_state, bundle2, best),
+                (loss, cur_psnr))
 
-    (state, model_opt_state, bundle), (losses, psnrs) = jax.lax.scan(
-        one_step, (state, model_opt_state, bundle), None, length=n_steps)
-    return state, model_opt_state, bundle, {"loss": losses, "psnr": psnrs}
+    (state, model_opt_state, bundle, best), (losses, psnrs) = jax.lax.scan(
+        one_step, (state, model_opt_state, bundle, best), None, length=n_steps)
+    return state, model_opt_state, bundle, {"loss": losses, "psnr": psnrs,
+                                            "best": best}
 
 
 # --------------------------------------------------------------------------

@@ -81,25 +81,33 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
     model_opt_state = model_tx.init(state.params)
     bundle = init_quantizers(state, cfg, qcfg)
 
-    best_psnr = -jnp.inf
-    best_state, best_bundle = state, bundle
     quant_iters = tcfg.iterations - warmup_iter
+    best = None
     for ci in range(quant_iters // chunk):
         state, model_opt_state, bundle, m = quant_train_chunk(
-            state, model_opt_state, bundle, gt, cfg, qcfg, model_lr, chunk)
-        cur = float(m["psnr"][-1])
-        if cur > float(best_psnr):
-            best_psnr, best_state, best_bundle = cur, state, bundle
+            state, model_opt_state, bundle, gt, cfg, qcfg, model_lr, chunk,
+            best=best)
+        best = m["best"]
         it_end = warmup_iter + (ci + 1) * chunk
         if log_every and it_end % log_every == 0:
-            log(f"quant {it_end}: psnr {cur:.3f} best {float(best_psnr):.3f}")
-    jax.block_until_ready(state.params.xyz)
+            log(f"quant {it_end}: psnr {float(m['psnr'][-1]):.3f} "
+                f"best {float(best[0]):.3f}")
+    import numpy as _np
+    _np.asarray(state.params.xyz[0])  # host sync
     train_time = time.perf_counter() - t0
+
+    if best is not None:
+        best_psnr = float(best[0])
+        best_state = state.replace(params=best[1])
+        bxy, bcov, bcol = best[2]
+        best_bundle = bundle.replace(xy=bxy, cov=bcov, color=bcol)
+    else:
+        best_psnr, best_state, best_bundle = -float("inf"), state, bundle
 
     # final prune on the unquantized cov (train_quantize.py:179)
     best_state, _ = prune(best_state, cfg)
     return QuantFitResult(state=best_state, bundle=best_bundle,
-                          best_psnr=float(best_psnr), train_time=train_time,
+                          best_psnr=best_psnr, train_time=train_time,
                           metrics={})
 
 
