@@ -203,6 +203,13 @@ def render(state: GaussianState, cfg: GaussianConfig,
     backend = cfg.raster_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "dense":
+        # binning-free differentiable path (no per-tile cap; quality mode)
+        from ..kernels.raster_dense_pallas import rasterize_dense
+        img = rasterize_dense(proj.xys, proj.conics, colors, opacity,
+                              proj.radii, proj.valid, cfg.H, cfg.W,
+                              cfg.block_h, cfg.block_w)
+        return jnp.clip(img, 0.0, 1.0)
     if backend == "pallas":
         from ..kernels.raster_pallas import rasterize_pallas
         raster = rasterize_pallas

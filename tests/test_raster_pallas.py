@@ -100,3 +100,39 @@ class TestDensePallas:
         proj = project_gaussians_2d_covariance(xy, cov, H, W)
         img = rasterize_dense_pallas(proj, colors, opacity, H, W)
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestDenseVJP:
+    def test_dense_grads_match_tiled(self):
+        from gaussianimage_plus_tpu.kernels.raster_dense_pallas import rasterize_dense
+        xy, cov, colors, opacity, H, W = make_scene(n=40, seed=31)
+        proj, bins = setup(xy, cov, H, W, cap=64)
+        rng = np.random.default_rng(32)
+        cot = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+
+        def loss_dense(args):
+            xys, conics, col, op = args
+            img = rasterize_dense(xys, conics, col, op, proj.radii, proj.valid, H, W)
+            return jnp.sum(jnp.clip(img, 0, 1) * cot)
+
+        def loss_tiled(args):
+            xys, conics, col, op = args
+            img = rasterize_tiled(xys, conics, col, op, bins.ids, bins.mask, H, W)
+            return jnp.sum(jnp.clip(img, 0, 1) * cot)
+
+        g_d = jax.grad(loss_dense)((proj.xys, proj.conics, colors, opacity))
+        g_t = jax.grad(loss_tiled)((proj.xys, proj.conics, colors, opacity))
+        for a, b, name in zip(g_d, g_t, ["xys", "conics", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-3, err_msg=name)
+
+    def test_dense_backend_trains(self):
+        from gaussianimage_plus_tpu.models import GaussianConfig
+        from gaussianimage_plus_tpu.train import TrainConfig, fit_image
+        H, W = 32, 48
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        gt = np.stack([xx / W, yy / H, 0.5 * np.ones_like(xx)], -1)
+        cfg = GaussianConfig(H=H, W=W, max_num_points=64, raster_backend="dense")
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.02)
+        res = fit_image(gt, cfg, tcfg, num_points=30, seed=0)
+        assert res.best_psnr > 14.0
