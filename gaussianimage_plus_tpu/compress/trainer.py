@@ -119,21 +119,30 @@ def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
     gt = jnp.asarray(gt)
     compress_jit = jax.jit(
         lambda s: compress_wo_ec(bundle, s, cfg, qcfg))
-    enc = jax.block_until_ready(compress_jit(res_state))
+    enc = compress_jit(res_state)
 
-    decode_jit = jax.jit(
-        lambda e: decompress_wo_ec(bundle, e, res_state.bound, cfg, qcfg))
-    out = jax.block_until_ready(decode_jit(enc))
+    # chained decode timing: each call depends on the previous output via a
+    # tiny code nudge, with host-fetch syncs (see utils/profiling.py).
+    @jax.jit
+    def decode_chained(e, fb):
+        e = e._replace(quant_means=e.quant_means + fb)
+        img = decompress_wo_ec(bundle, e, res_state.bound, cfg, qcfg)
+        return img, img[0, 0, 0] * 1e-7
+
+    out, fb = decode_chained(enc, jnp.zeros(()))
+    _ = np.asarray(out)
     t0 = time.perf_counter()
     for _ in range(n_renders):
-        out = decode_jit(enc)
-    jax.block_until_ready(out)
+        out, fb = decode_chained(enc, fb)
+    _ = np.asarray(out)
     dt = (time.perf_counter() - t0) / n_renders
 
     stats = analysis_wo_ec(enc, cfg, qcfg, bundle)
+    metrics = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
+    psnr_v, msssim_v = metrics(out, gt)
     stats.update({
-        "psnr": float(psnr_fn(out, gt)),
-        "ms_ssim": float(ms_ssim(out, gt)),
+        "psnr": float(psnr_v),
+        "ms_ssim": float(msssim_v),
         "rendering_time": dt,
         "rendering_fps": 1.0 / dt,
     })

@@ -284,9 +284,11 @@ def evaluate(state: GaussianState, gt: jax.Array, cfg: GaussianConfig,
     _ = _np.asarray(out)
     dt = (time.perf_counter() - t0) / n_renders
     gt = jnp.asarray(gt)
+    metrics = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
+    psnr_v, msssim_v = metrics(out, gt)
     return {
-        "psnr": float(psnr_fn(out, gt)),
-        "ms_ssim": float(ms_ssim(out, gt)),
+        "psnr": float(psnr_v),
+        "ms_ssim": float(msssim_v),
         "eval_time": dt,
         "fps": 1.0 / dt,
         "num_points": int(state.num_active),
