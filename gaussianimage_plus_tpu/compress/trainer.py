@@ -121,21 +121,30 @@ def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
         lambda s: compress_wo_ec(bundle, s, cfg, qcfg))
     enc = compress_jit(res_state)
 
-    # chained decode timing: each call depends on the previous output via a
-    # tiny code nudge, with host-fetch syncs (see utils/profiling.py).
-    @jax.jit
-    def decode_chained(e, fb):
+    # Decode timing: n_renders sequential decodes inside ONE program (scan
+    # with a data dependency between iterations), so the measurement reflects
+    # device decode throughput rather than the development tunnel's per-call
+    # dispatch latency. Sync is a host fetch.
+    def decode_once(e, fb):
         e = e._replace(quant_means=e.quant_means + fb)
         img = decompress_wo_ec(bundle, e, res_state.bound, cfg, qcfg)
         return img, img[0, 0, 0] * 1e-7
 
-    out, fb = decode_chained(enc, jnp.zeros(()))
+    @jax.jit
+    def decode_n(e, fb0):
+        def body(fb, _):
+            img, fb2 = decode_once(e, fb)
+            return fb2, img[0, 0, 0]
+        fb, probes = jax.lax.scan(body, fb0, None, length=n_renders)
+        img, _ = decode_once(e, fb)
+        return img, probes
+
+    out, probes = decode_n(enc, jnp.zeros(()))
     _ = np.asarray(out)
     t0 = time.perf_counter()
-    for _ in range(n_renders):
-        out, fb = decode_chained(enc, fb)
+    out, probes = decode_n(enc, jnp.asarray(float(probes[0]) * 1e-9))
     _ = np.asarray(out)
-    dt = (time.perf_counter() - t0) / n_renders
+    dt = (time.perf_counter() - t0) / (n_renders + 1)
 
     stats = analysis_wo_ec(enc, cfg, qcfg, bundle)
     metrics = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
