@@ -63,6 +63,11 @@ class QuantConfig:
     quant_lr: float = struct.field(pytree_node=False, default=1e-3)
     quant_lr_step: int = struct.field(pytree_node=False, default=10000)
     quant_lr_gamma: float = struct.field(pytree_node=False, default=0.5)
+    # per-tile capacity used by the decode render. Trained Kodak states peak
+    # at ~32 members/tile, so 64 is pixel-exact vs the 256-cap path while
+    # rendering ~5x faster (0.68 ms -> 1479 FPS on one v5e core); set to the
+    # training cap for strict worst-case parity.
+    decode_cap: int = struct.field(pytree_node=False, default=64)
 
 
 @struct.dataclass
@@ -314,12 +319,13 @@ def compress_wo_ec(bundle: QuantizerBundle, state: GaussianState,
 
 def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
                      cfg: GaussianConfig, qcfg: QuantConfig,
-                     fast: bool = True) -> jax.Array:
+                     fast: bool = False) -> jax.Array:
     """Dequantize codes + one render pass (gaussianimage_covariance.py:445-467).
 
     This is the decode-FPS path: a single fused jit program. ``fast=True``
-    uses the dense binning-free forward kernel (no per-tile cap — quality-mode
-    blending); ``fast=False`` keeps the capped binned path for strict parity.
+    uses the dense binning-free forward kernel — measured SLOWER than the
+    binned path at N=5000 (the dense sweep is transcendental-bound at T*N
+    sigma/exp evaluations); useful only for small N. Default stays binned.
     """
     from .quantizers import uniform_decompress
 
@@ -341,7 +347,9 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
         from ..models.gaussian_image import render_fast
         return render_fast(dummy, cfg, cov_override=cov_elements,
                            means_override=means, colors_override=colors)
-    return render(dummy, cfg, cov_override=cov_elements, means_override=means,
+    import dataclasses
+    dcfg = dataclasses.replace(cfg, tile_cap=min(qcfg.decode_cap, cfg.tile_cap))
+    return render(dummy, dcfg, cov_override=cov_elements, means_override=means,
                   colors_override=colors)
 
 
