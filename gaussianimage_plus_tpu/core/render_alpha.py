@@ -26,6 +26,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# f32-accurate matmuls (MXU default is bf16; see kernels/raster_pallas.py)
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
 from .binning import TileBins, bin_gaussians
 from .gaussian2d import ALPHA_THRESHOLD, BLOCK_H, BLOCK_W, Projected, tile_bounds_for
 from .render_tiled import (
@@ -71,7 +74,7 @@ def rasterize_alpha_tiled(proj_sorted: Projected, colors_sorted: jax.Array,
     lmy = g_xy[..., 1] - ty0[:, None]
     w = _quad_coeffs(lmx, lmy, g_con[..., 0], g_con[..., 1], g_con[..., 2])
     phi = _pixel_features(ppx, ppy)
-    sigma = jnp.einsum('pf,tkf->tpk', phi, w)              # [T, P, K]
+    sigma = jnp.einsum('pf,tkf->tpk', phi, w, precision=MM_PRECISION)              # [T, P, K]
     # reference alpha clamp at 0.999 (forward.cu:399) and 1/255 skip (:401)
     alpha = jnp.minimum(0.999, g_op[:, None, :] * jnp.exp(-sigma))
     alpha = jnp.where((alpha >= ALPHA_THRESHOLD) & mask[:, None, :], alpha, 0.0)
@@ -86,7 +89,7 @@ def rasterize_alpha_tiled(proj_sorted: Projected, colors_sorted: jax.Array,
     # T_excl * (1-alpha) > 1e-4.
     live = (T_excl * one_minus) > 1e-4
     weights = jnp.where(live, alpha * T_excl, 0.0)         # [T, P, K]
-    tiles = jnp.einsum('tpk,tkc->tpc', weights, g_col)
+    tiles = jnp.einsum('tpk,tkc->tpc', weights, g_col, precision=MM_PRECISION)
     # T after the last composited gaussian: product over live entries only
     T_final = jnp.prod(jnp.where(live, one_minus, 1.0), axis=-1)
     tiles = tiles + T_final[..., None] * background[None, None, :]

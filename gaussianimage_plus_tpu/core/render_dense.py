@@ -41,6 +41,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# f32-accurate matmuls (MXU default is bf16; see kernels/raster_pallas.py)
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
 from .gaussian2d import ALPHA_THRESHOLD, BLOCK_H, BLOCK_W, Projected, tile_bounds_for, tile_bbox
 
 
@@ -124,5 +127,5 @@ def render_dense(proj: Projected, colors: jax.Array, opacity: jax.Array,
         contrib = contrib & member[pix_tile]                      # [H, W, N]
 
     weights = jnp.where(contrib, alpha, 0.0)
-    img = jnp.einsum('hwn,nc->hwc', weights, colors)
+    img = jnp.einsum('hwn,nc->hwc', weights, colors, precision=MM_PRECISION)
     return jnp.clip(img, 0.0, 1.0)

@@ -57,6 +57,12 @@ from .binning import TileBins
 from .gaussian2d import ALPHA_THRESHOLD, BLOCK_H, BLOCK_W, tile_bounds_for
 
 
+# f32-accurate matmuls: the MXU default rounds operands to bf16, and the
+# sigma>=0 gate on the catastrophically-cancelling expanded quadratic then
+# drops near-center contributions at random (see kernels/raster_pallas.py).
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _tile_geometry(H: int, W: int, block_h: int, block_w: int):
     tb_x, tb_y = tile_bounds_for(H, W, block_h, block_w)
     T = tb_x * tb_y
@@ -124,7 +130,7 @@ def _raster_core(xys, conics, colors, opacity, ids, mask,
     c1, c2, c3 = g_con[..., 0], g_con[..., 1], g_con[..., 2]
     w = _quad_coeffs(lmx, lmy, c1, c2, c3)           # [T, K, 6]
     phi = _pixel_features(ppx, ppy)                  # [P, 6]
-    sigma = jnp.einsum('pf,tkf->tpk', phi, w)        # [T, P, K]
+    sigma = jnp.einsum('pf,tkf->tpk', phi, w, precision=MM_PRECISION)        # [T, P, K]
     vis = jnp.exp(-sigma)
     alpha_raw = g_op[:, None, :] * vis
     alpha = jnp.minimum(1.0, alpha_raw)
@@ -139,7 +145,7 @@ def _raster_fwd_impl(xys, conics, colors, opacity, ids, mask,
     (tb_x, tb_y, _, _, _, _, _, _, _, _, _, _, weights) = _raster_core(
         xys, conics, colors, opacity, ids, mask, H, W, block_h, block_w)
     g_col = _gather(colors, ids)                     # [T, K, 3]
-    tiles = jnp.einsum('tpk,tkc->tpc', weights, g_col)
+    tiles = jnp.einsum('tpk,tkc->tpc', weights, g_col, precision=MM_PRECISION)
     return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
 
 
@@ -172,16 +178,16 @@ def _rasterize_bwd(H, W, block_h, block_w, res, v_img):
     v_out = _image_to_tiles(v_img, tb_x, tb_y, block_h, block_w)   # [T, P, 3]
 
     # v_alpha[t,p,k] = rgb_k . v_out_p   (backward.cu:1304-1307)
-    v_alpha = jnp.einsum('tpc,tkc->tpk', v_out, g_col)
+    v_alpha = jnp.einsum('tpc,tkc->tpk', v_out, g_col, precision=MM_PRECISION)
     # v_rgb[t,k] = sum_p contrib * alpha * v_out  (fac = saturated alpha,
     # backward.cu:1297-1300)
-    v_rgb_tile = jnp.einsum('tpk,tpc->tkc', weights, v_out)
+    v_rgb_tile = jnp.einsum('tpk,tpc->tkc', weights, v_out, precision=MM_PRECISION)
     # v_sigma flows through the saturated min unconditionally (backward.cu:1310)
     v_sigma = jnp.where(contrib, -(g_op[:, None, :] * vis) * v_alpha, 0.0)
     v_opac_tile = jnp.sum(jnp.where(contrib, vis * v_alpha, 0.0), axis=1)  # [T, K]
 
     # Moments of v_sigma against the pixel features: [T, K, 6]
-    M = jnp.einsum('tpk,pf->tkf', v_sigma, phi)
+    M = jnp.einsum('tpk,pf->tkf', v_sigma, phi, precision=MM_PRECISION)
     Sxx, Syy, Sxy, Sx, Sy, S1 = (M[..., 0], M[..., 1], M[..., 2],
                                  M[..., 3], M[..., 4], M[..., 5])
     # v_conic with the reference's half-off-diagonal convention

@@ -16,6 +16,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
 C0 = 0.28209479177387814
 C1 = 0.4886025119029199
 C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
@@ -75,4 +78,4 @@ def spherical_harmonics(degree: int, viewdirs: jax.Array,
         jnp.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-12)
     bases = eval_sh_bases(degree, dirs)                    # [N, K]
     k = num_sh_bases(degree)
-    return jnp.einsum("nk,nkc->nc", bases, coeffs[:, :k, :])
+    return jnp.einsum("nk,nkc->nc", bases, coeffs[:, :k, :], precision=MM_PRECISION)

@@ -23,6 +23,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+# f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
+MM_PRECISION = jax.lax.Precision.HIGHEST
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -66,7 +69,8 @@ def _make_kernel(tb_x: int, tb: int, cap: int):
             # prefix sum as matmul: rank[k] = sum_{j<=k} mask[j]
             rank = jax.lax.dot_general(
                 lower_tri, mask, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [GC, 1]
+                preferred_element_type=jnp.float32,
+                precision=MM_PRECISION)       # [GC, 1]
             found = rank[GC - 1, 0].astype(jnp.int32)
 
             @pl.when(found > 0)
@@ -75,7 +79,8 @@ def _make_kernel(tb_x: int, tb: int, cap: int):
                      (mask.reshape(1, GC) > 0)).astype(jnp.float32)  # [GC, GC]
                 packed = jax.lax.dot_general(
                     S, ids_f, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # [GC, 1] compacted ids
+                    preferred_element_type=jnp.float32,
+                precision=MM_PRECISION)   # [GC, 1] compacted ids
                 payload = jnp.broadcast_to(packed, (GC, out_ref.shape[2]))
                 start = jnp.minimum(cnt_ref[i], cap)
                 out_ref[i, pl.ds(start, GC), :] = payload

@@ -27,6 +27,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+# f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
+MM_PRECISION = jax.lax.Precision.HIGHEST
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -81,7 +84,8 @@ def _make_kernel(tb_x: int, block_h: int, block_w: int, tb: int):
             ], axis=1)                                     # [KC, 8]
             sigma = jax.lax.dot_general(
                 w, phi, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [KC, P]
+                preferred_element_type=jnp.float32,
+                precision=MM_PRECISION)        # [KC, P]
             alpha = jnp.minimum(1.0, opac * jnp.exp(-sigma))
             contrib = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & member
             weights = jnp.where(contrib, alpha, 0.0)
@@ -89,7 +93,8 @@ def _make_kernel(tb_x: int, block_h: int, block_w: int, tb: int):
                 [raw[:, 5:8], jnp.zeros((raw.shape[0], 5), raw.dtype)], axis=1)
             out_ref[i] += jax.lax.dot_general(
                 rgb8, weights, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [8, P]
+                preferred_element_type=jnp.float32,
+                precision=MM_PRECISION)        # [8, P]
 
     return kernel
 
@@ -135,7 +140,8 @@ def _make_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int):
                 jnp.zeros_like(c1), jnp.zeros_like(c1),
             ], axis=1)
             sigma = jax.lax.dot_general(
-                w, phi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                w, phi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=MM_PRECISION)
             vis = jnp.exp(-sigma)
             alpha = jnp.minimum(1.0, opac * vis)
             contrib = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & member
@@ -144,16 +150,19 @@ def _make_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int):
             # v_alpha[k,p] = rgb_k . v_out_p
             v_alpha = jax.lax.dot_general(
                 rgb, v_out[0:3, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=MM_PRECISION)
             v_rgb = jax.lax.dot_general(
                 weights, v_out, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [KC, 8] cols 0..2
+                preferred_element_type=jnp.float32,
+                precision=MM_PRECISION)        # [KC, 8] cols 0..2
             v_sigma = jnp.where(contrib, -(opac * vis) * v_alpha, 0.0)
             v_opac = jnp.sum(jnp.where(contrib, vis * v_alpha, 0.0),
                              axis=1, keepdims=True)
             M = jax.lax.dot_general(
                 v_sigma, phi, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [KC, 8]
+                preferred_element_type=jnp.float32,
+                precision=MM_PRECISION)        # [KC, 8]
             Sxx = M[:, 0:1]; Syy = M[:, 1:2]; Sxy = M[:, 2:3]
             Sx = M[:, 3:4]; Sy = M[:, 4:5]; S1 = M[:, 5:6]
             v_con_x = 0.5 * (lmx * lmx * S1 - 2.0 * lmx * Sx + Sxx)

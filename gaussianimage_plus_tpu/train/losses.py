@@ -17,6 +17,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
 MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
@@ -47,8 +50,8 @@ def _filter2d_separable(img: jax.Array, win: jax.Array) -> jax.Array:
     A_h = _band_matrix(H, k, win)                     # [H-k+1, H]
     A_w = _band_matrix(W, k, win)                     # [W-k+1, W]
     x = img.transpose(0, 3, 1, 2)                     # [B, C, H, W]
-    x = jnp.einsum("oh,bchw->bcow", A_h, x)
-    x = jnp.einsum("pw,bchw->bchp", A_w, x)
+    x = jnp.einsum("oh,bchw->bcow", A_h, x, precision=MM_PRECISION)
+    x = jnp.einsum("pw,bchw->bchp", A_w, x, precision=MM_PRECISION)
     return x.transpose(0, 2, 3, 1)
 
 
@@ -84,9 +87,14 @@ def ssim(x: jax.Array, y: jax.Array, win_size: int = 11, sigma: float = 1.5,
 
 
 def _avg_pool2(img: jax.Array) -> jax.Array:
-    """2x2 average pooling with pytorch_msssim-style odd-dim padding."""
+    """2x2 average pooling, pytorch_msssim semantics: odd dims get a zero on
+    BOTH sides (F.avg_pool2d(kernel=2, padding=dim%2), count_include_pad=True),
+    so edge windows average the pad zeros in."""
     B, H, W, C = img.shape
-    img = jnp.pad(img, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)), mode="edge")
+    ph, pw = H % 2, W % 2
+    # symmetric zero pad, but stride-2 windows never reach the trailing pad
+    # (floor semantics), so only the leading zero materializes
+    img = jnp.pad(img, ((0, 0), (ph, 0), (pw, 0), (0, 0)))
     H2, W2 = img.shape[1] // 2, img.shape[2] // 2
     return img.reshape(B, H2, 2, W2, 2, C).mean(axis=(2, 4))
 

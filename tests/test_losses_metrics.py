@@ -79,3 +79,19 @@ class TestPSNR:
         p = jnp.zeros((2, 2, 3))
         t = jnp.ones((2, 2, 3))
         assert np.isclose(float(clamped_psnr(p, t)), 0.0, atol=1e-4)
+
+
+def test_avg_pool2_matches_torch_odd_dims():
+    """pytorch_msssim downsample = F.avg_pool2d(kernel=2, padding=dim%2,
+    count_include_pad=True); must match bitwise on odd and even dims."""
+    import torch
+    import torch.nn.functional as F
+    from gaussianimage_plus_tpu.train.losses import _avg_pool2
+
+    rng = np.random.default_rng(7)
+    for H, W in ((7, 9), (8, 9), (7, 8), (8, 8)):
+        x = rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+        ref = F.avg_pool2d(torch.tensor(x).permute(0, 3, 1, 2), kernel_size=2,
+                           padding=(H % 2, W % 2)).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(_avg_pool2(jnp.asarray(x)))
+        np.testing.assert_array_equal(ref, got)
