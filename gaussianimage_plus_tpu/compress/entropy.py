@@ -69,9 +69,12 @@ def _as_u16_ptr(a):
 
 
 def _minimized_dtype(vmin: int, vmax: int):
-    """judege_type (utils.py:46-60)."""
+    """judege_type (utils.py:46-60) — with the reference's off-by-one fixed:
+    it maps vmax == 256 to uint8, which would wrap 256 -> 0 and corrupt the
+    stream. We control both encode and decode sides, so use the correct 255
+    bound instead of reproducing the bug."""
     if vmin >= 0:
-        if vmax <= 256:
+        if vmax <= 255:
             return np.uint8
         if vmax <= 65535:
             return np.uint16

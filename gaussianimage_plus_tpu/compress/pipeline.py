@@ -295,7 +295,13 @@ def compress_wo_ec(bundle: QuantizerBundle, state: GaussianState,
                    cfg: GaussianConfig, qcfg: QuantConfig) -> Encoding:
     """Quantize to integer codes; PSD-prune points invalidated by
     quantization (gaussianimage_covariance.py:412-443)."""
-    means, code_xy = _uniform_fwd(bundle.xy, state.params.xyz, qcfg.xy_bit)
+    if qcfg.xy_quant == "fp16":
+        # fp16 round-trip, codes ARE the dequantized values
+        # (gaussianimage_covariance.py:414-419: quant_means = means)
+        means = fake_quantize_half(state.params.xyz)
+        code_xy = means
+    else:
+        means, code_xy = _uniform_fwd(bundle.xy, state.params.xyz, qcfg.xy_bit)
     cov_eff = effective_cov2d(state.params, state.bound, cfg)
     var_dq, code_var, log_state = _log_fwd_masked(cov_eff[:, ::2], state.active,
                                                   qcfg.cov_bit)
@@ -327,18 +333,7 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
     binned path at N=5000 (the dense sweep is transcendental-bound at T*N
     sigma/exp evaluations); useful only for small N. Default stays binned.
     """
-    from .quantizers import uniform_decompress
-
-    means = uniform_decompress(bundle.xy, enc.quant_means)
-    var = log_decompress(enc.log_state, enc.quant_cov[:, ::2])
-    cov_mid = uniform_decompress(bundle.cov.cov, enc.quant_cov[:, 1:2])
-    cov_elements = jnp.concatenate([var[:, 0:1], cov_mid, var[:, 1:2]], axis=1)
-    if qcfg.color_quant == "vq":
-        from .residual_vq import residual_vq_decode
-
-        colors = residual_vq_decode(bundle.color_vq, enc.color_codes)
-    else:
-        colors = uniform_decompress(bundle.color, enc.color_codes)
+    means, cov_elements, colors = _decode_attributes(bundle, enc, qcfg)
     dummy = GaussianState(
         params=GaussianParams(xyz=means, cov2d=cov_elements, features=colors),
         active=enc.active, bound=bound,
@@ -353,6 +348,72 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
                   colors_override=colors)
 
 
+def _decode_attributes(bundle: QuantizerBundle, enc: Encoding,
+                       qcfg: QuantConfig):
+    """Dequantize the integer codes back to render attributes."""
+    from .quantizers import uniform_decompress
+
+    if qcfg.xy_quant == "fp16":
+        means = enc.quant_means  # already the fp16 round-trip values
+    else:
+        means = uniform_decompress(bundle.xy, enc.quant_means)
+    var = log_decompress(enc.log_state, enc.quant_cov[:, ::2])
+    cov_mid = uniform_decompress(bundle.cov.cov, enc.quant_cov[:, 1:2])
+    cov_elements = jnp.concatenate([var[:, 0:1], cov_mid, var[:, 1:2]], axis=1)
+    if qcfg.color_quant == "vq":
+        from .residual_vq import residual_vq_decode
+
+        colors = residual_vq_decode(bundle.color_vq, enc.color_codes)
+    else:
+        colors = uniform_decompress(bundle.color, enc.color_codes)
+    return means, cov_elements, colors
+
+
+def prepare_decode(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
+                   cfg: GaussianConfig, qcfg: QuantConfig,
+                   trim: bool = True):
+    """Bin-once decode: dequantize + project + bin + gather, ONCE per
+    bitstream. Returns a ``kernels.raster_pallas.Prepared`` whose per-frame
+    render (``decode_frame``) is a single Pallas sweep.
+
+    The bins are a pure function of the decoded attributes, so recomputing
+    them per frame (as ``decompress_wo_ec`` does, mirroring the reference's
+    per-forward bin_and_sort) is pure waste for a static stream. With
+    ``trim`` the per-tile capacity is cut to the actual max occupancy
+    (rounded up to the sublane multiple of 8) — exact, since slots are
+    front-packed.
+    """
+    from ..models.gaussian_image import prepare_render
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _prep(bundle, enc, bound):
+        means, cov_elements, colors = _decode_attributes(bundle, enc, qcfg)
+        dummy = GaussianState(
+            params=GaussianParams(xyz=means, cov2d=cov_elements, features=colors),
+            active=enc.active, bound=bound, num_active=enc.num_active)
+        return prepare_render(dummy, cfg, cov_override=cov_elements,
+                              means_override=means, colors_override=colors,
+                              cap=min(qcfg.decode_cap, cfg.tile_cap))
+
+    prep = _prep(bundle, enc, bound)
+    if trim:
+        import numpy as np
+
+        maxc = int(np.asarray(jnp.max(prep.counts)))
+        cap2 = max(8, -(-maxc // 8) * 8)
+        if cap2 < prep.raw.shape[1]:
+            prep = prep._replace(raw=prep.raw[:, :cap2])
+    return prep
+
+
+def decode_frame(prep, cfg: GaussianConfig,
+                 tiles_per_step: Optional[int] = None) -> jax.Array:
+    """Per-frame decode render (the ≥2000 FPS deliverable)."""
+    from ..models.gaussian_image import render_prepared
+
+    return render_prepared(prep, cfg, tiles_per_step=tiles_per_step)
+
+
 def analysis_wo_ec(enc: Encoding, cfg: GaussianConfig, qcfg: QuantConfig,
                    bundle: Optional[QuantizerBundle] = None) -> dict:
     """bpp from bit widths (analysis_wo_ec,
@@ -363,7 +424,11 @@ def analysis_wo_ec(enc: Encoding, cfg: GaussianConfig, qcfg: QuantConfig,
     import numpy as np
 
     n = int(enc.num_active)
-    position_bits = n * 2 * qcfg.xy_bit + 32 * 2 * 2
+    if qcfg.xy_quant == "fp16":
+        # 16 bits/coord, no quantizer grid to ship (covariance.py:487-489)
+        position_bits = n * 2 * 16
+    else:
+        position_bits = n * 2 * qcfg.xy_bit + 32 * 2 * 2
     cholesky_bits = n * 3 * hybrid_size(qcfg.cov_bit, qcfg.cov_bit) + 32 * 3 * 2
     if qcfg.color_quant == "vq" and bundle is not None:
         codebook_bits = sum(int(np.prod(cb.embed.shape)) * 32

@@ -66,7 +66,11 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
         it_end = (ci + 1) * chunk
         do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
                    and it_end < warmup_iter)
-        final_fill = it_end == warmup_iter - tcfg.grow_iter
+        # fill-to-max at the LAST grow that actually fires before warmup ends
+        # (warmup_iter - grow_iter only coincides with the grow cadence when
+        # warmup_iter is a multiple of grow_iter; derive it instead)
+        last_grow = (warmup_iter - 1) // tcfg.grow_iter * tcfg.grow_iter
+        final_fill = do_grow and it_end == last_grow
         ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune, do_grow, final_fill)
         if log_every and it_end % log_every == 0:
             log(f"warmup {it_end}: psnr {float(m['psnr'][-1]):.3f} "

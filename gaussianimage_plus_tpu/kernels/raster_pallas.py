@@ -33,7 +33,7 @@ unit-testable off-TPU.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,15 @@ from ..core.gaussian2d import ALPHA_THRESHOLD, BLOCK_H, BLOCK_W, tile_bounds_for
 from ..core.render_tiled import _image_to_tiles, _tiles_to_image
 
 COLS = 16
+# All raster matmuls run at HIGHEST precision. The MXU's default path rounds
+# f32 operands to bf16 (~0.4% relative); the blend gates contributions on
+# sigma >= 0 (forward.cu:660 semantics), and the expanded quadratic in ``w``
+# cancels catastrophically near Gaussian centers — at bf16 the gate then
+# drops alpha~1 contributions at random (measured 0.07 rms image error vs
+# the exact f32 render at the Kodak operating point, i.e. ~23 dB of pure
+# precision noise). HIGHEST restores f32 accuracy (~1e-7 rel, measured) and
+# these small matmuls are nowhere near the kernel's bottleneck.
+MM_PRECISION = jax.lax.Precision.HIGHEST
 # K-chunk width per grid step; must be a multiple of 128 (Mosaic lane-dim
 # block constraint).
 KC = 128
@@ -100,7 +109,8 @@ def _chunk_geometry(raw, phi, t, tb_x, block_h, block_w):
         jnp.zeros_like(c1), jnp.zeros_like(c1),
     ], axis=1)                                             # [KC, 8]
     sigma = jax.lax.dot_general(                           # [KC, P]
-        w, phi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        w, phi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)
     vis = jnp.exp(-sigma)
     alpha = jnp.minimum(1.0, opac * vis)
     contrib = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & (valid > 0.0)
@@ -131,7 +141,8 @@ def _make_fwd_kernel(tb_x, block_h, block_w, kc, tb):
                 # out[c,p] += sum_k rgb8[k,c] * weights[k,p]
                 out_ref[i] += jax.lax.dot_general(
                     rgb8, weights, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [8, P]
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)    # [8, P]
 
     return kernel
 
@@ -159,18 +170,21 @@ def _make_bwd_kernel(tb_x, block_h, block_w, kc, tb):
                 # v_alpha[k,p] = sum_c rgb[k,c] v_out[c,p]
                 v_alpha = jax.lax.dot_general(
                     rgb, v_out[0:3, :], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)
                 # v_rgb[k,c] = sum_p weights[k,p] v_out[c,p]
                 v_rgb = jax.lax.dot_general(
                     weights, v_out, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [KC, 8] cols 0..2
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)    # [KC, 8] cols 0..2
                 v_sigma = jnp.where(contrib, -(opac * vis) * v_alpha, 0.0)
                 v_opac = jnp.sum(jnp.where(contrib, vis * v_alpha, 0.0),
                                  axis=1, keepdims=True)    # [KC, 1]
                 # moments M[k,f] = sum_p v_sigma[k,p] phi[f,p]
                 M = jax.lax.dot_general(
                     v_sigma, phi, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [KC, 8]
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)    # [KC, 8]
                 Sxx = M[:, 0:1]; Syy = M[:, 1:2]; Sxy = M[:, 2:3]
                 Sx = M[:, 3:4]; Sy = M[:, 4:5]; S1 = M[:, 5:6]
                 v_con_x = 0.5 * (lmx * lmx * S1 - 2.0 * lmx * Sx + Sxx)
@@ -200,11 +214,12 @@ def _tile_block(T: int) -> int:
     return TB if T % TB == 0 else 1
 
 
-def _run_fwd(raw, counts, phi, P, tb_x, block_h, block_w):
+def _run_fwd(raw, counts, phi, P, tb_x, block_h, block_w, tiles_per_step=None):
     T, K, _ = raw.shape
     kc = _chunk_width(K)
     nc = -(-K // kc)
-    tb = _tile_block(T)
+    tb = tiles_per_step if (tiles_per_step and T % tiles_per_step == 0) \
+        else _tile_block(T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // tb, nc),
@@ -263,6 +278,44 @@ def _prepare(xys, conics, colors, opacity, ids, mask, H, W, block_h, block_w):
     counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
     phi = _phi_block(block_h, block_w)
     return raw, ids_s, counts, phi, tb_x, tb_y
+
+
+class Prepared(NamedTuple):
+    """A fully binned+gathered render input.
+
+    The attribute table is pre-gathered into per-tile blocks, so rendering
+    from it is a single Pallas sweep with zero gathers. This is the decode
+    fast path: a decoded bitstream is static, its binning is a pure function
+    of the decoded attributes, so it is computed ONCE per bitstream and
+    reused across frames (the reference re-bins per frame only because its
+    dynamic intersection lists are cheap on a GPU; see
+    train_quantize.py:239-247 for the decode protocol being measured)."""
+
+    raw: jax.Array     # [T, Kp, COLS]
+    counts: jax.Array  # [T]
+
+
+def prepare_raster(xys, conics, colors, opacity, ids, mask,
+                   H, W, block_h: int = BLOCK_H, block_w: int = BLOCK_W):
+    """Bin-once stage: gather attributes into per-tile VMEM-ready blocks."""
+    raw, _, counts, _, _, _ = _prepare(
+        xys, conics, colors, opacity, ids, mask, H, W, block_h, block_w)
+    return Prepared(raw, counts)
+
+
+def rasterize_prepared(prep, H: int, W: int,
+                       block_h: int = BLOCK_H, block_w: int = BLOCK_W,
+                       tiles_per_step: int | None = None) -> jax.Array:
+    """Forward-only render from a Prepared block table (no gather, no
+    projection, no binning): the per-frame cost of the decode path."""
+    raw, counts = prep
+    tb_x, tb_y = tile_bounds_for(H, W, block_h, block_w)
+    P = block_h * block_w
+    phi = _phi_block(block_h, block_w)
+    out = _run_fwd(raw, counts, phi, P, tb_x, block_h, block_w,
+                   tiles_per_step=tiles_per_step)
+    tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)
+    return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
 
 
 def _raster_pallas_fwd_impl(xys, conics, colors, opacity, ids, mask,

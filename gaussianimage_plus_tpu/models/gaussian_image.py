@@ -221,6 +221,43 @@ def render(state: GaussianState, cfg: GaussianConfig,
     return jnp.clip(img, 0.0, 1.0)
 
 
+def prepare_render(state: GaussianState, cfg: GaussianConfig,
+                   cov_override: Optional[jax.Array] = None,
+                   means_override: Optional[jax.Array] = None,
+                   colors_override: Optional[jax.Array] = None,
+                   cap: Optional[int] = None):
+    """Bin-once stage of the decode fast path: project + bin + gather into
+    per-tile attribute blocks (kernels.raster_pallas.Prepared). For a static
+    attribute set (a decoded bitstream, an eval snapshot) this runs once and
+    ``render_prepared`` renders frames from it with zero per-frame binning.
+    """
+    from ..kernels.raster_pallas import prepare_raster
+
+    proj = project(state.params, state.active, state.bound, cfg,
+                   cov_override=cov_override, means_override=means_override)
+    bins = bin_gaussians(proj, cfg.H, cfg.W, cap=cap or cfg.tile_cap,
+                         block_h=cfg.block_h, block_w=cfg.block_w,
+                         method="top_k" if cfg.bin_method == "pallas" else cfg.bin_method)
+    colors = colors_override if colors_override is not None else colors_of(state.params, cfg)
+    opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)
+    return prepare_raster(proj.xys, proj.conics, colors, opacity,
+                          bins.ids, bins.mask, cfg.H, cfg.W,
+                          cfg.block_h, cfg.block_w)
+
+
+def render_prepared(prep, cfg: GaussianConfig,
+                    tiles_per_step: Optional[int] = None) -> jax.Array:
+    """Per-frame render from a prepared block table -> [H, W, 3] in [0, 1].
+
+    Uses the flattened forward-only kernel (raster_flat_pallas) — the
+    decode-FPS path."""
+    from ..kernels.raster_flat_pallas import rasterize_prepared_flat
+
+    img = rasterize_prepared_flat(prep, cfg.H, cfg.W, cfg.block_h, cfg.block_w,
+                                  tiles_per_step=tiles_per_step or 16)
+    return jnp.clip(img, 0.0, 1.0)
+
+
 def get_attributes(state: GaussianState, cfg: GaussianConfig) -> dict:
     """Host-side export of the fitted attribute arrays (active rows only).
 

@@ -113,3 +113,29 @@ class TestVQColorPath:
         stats = analysis_wo_ec(enc, cfg, qcfg, bundle)
         # 2 layers x 8 codebook entries x 3 dims x 32 bits = 1536 codebook bits
         assert stats["feature_dc_bpp"] * cfg.H * cfg.W >= 1536
+
+
+class TestPreparedDecode:
+    def test_prepared_matches_full_decode(self):
+        """Bin-once decode must be pixel-exact vs decompress_wo_ec."""
+        from gaussianimage_plus_tpu.compress import prepare_decode, decode_frame
+
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig()
+        bundle = init_quantizers(state, cfg, qcfg)
+        enc = compress_wo_ec(bundle, state, cfg, qcfg)
+        full = decompress_wo_ec(bundle, enc, state.bound, cfg, qcfg)
+        prep = prepare_decode(bundle, enc, state.bound, cfg, qcfg)
+        fast = decode_frame(prep, cfg)
+        # full path uses the XLA rasterizer on CPU, prepared path the Pallas
+        # kernel (interpret): identical math, different accumulation order
+        np.testing.assert_allclose(np.asarray(full), np.asarray(fast),
+                                   atol=2e-5)
+        # capacity trim drops only sentinel slots: any difference is pure
+        # reduction-tree pairing at the different K (1 ulp)
+        prep0 = prepare_decode(bundle, enc, state.bound, cfg, qcfg, trim=False)
+        np.testing.assert_allclose(np.asarray(decode_frame(prep0, cfg)),
+                                   np.asarray(fast), atol=1e-6)
+        # trimmed capacity stays sublane-aligned and sufficient
+        assert prep.raw.shape[1] % 8 == 0
+        assert prep.raw.shape[1] >= int(jnp.max(prep.counts))

@@ -136,3 +136,25 @@ class TestDenseVJP:
         tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.02)
         res = fit_image(gt, cfg, tcfg, num_points=30, seed=0)
         assert res.best_psnr > 14.0
+
+
+class TestFlatForward:
+    def test_flat_matches_chunked(self):
+        """Flat decode kernel == chunked kernel == XLA on random scenes,
+        including empty tiles and saturated alphas, at several tile blocks."""
+        from gaussianimage_plus_tpu.kernels.raster_pallas import prepare_raster
+        from gaussianimage_plus_tpu.kernels.raster_flat_pallas import (
+            rasterize_prepared_flat)
+
+        for seed, saturate in ((0, False), (1, True)):
+            xy, cov, colors, opacity, H, W = make_scene(seed=seed,
+                                                        saturate=saturate)
+            proj, bins = setup(xy, cov, H, W)
+            ref = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
+                                  bins.ids, bins.mask, H, W)
+            prep = prepare_raster(proj.xys, proj.conics, colors, opacity,
+                                  bins.ids, bins.mask, H, W)
+            for tps in (1, 3, 16):
+                img = rasterize_prepared_flat(prep, H, W, tiles_per_step=tps)
+                np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                           atol=1e-5, rtol=1e-5)
