@@ -61,6 +61,27 @@ def _membership(proj: Projected, tile_bounds: Tuple[int, int],
     return member.reshape(tb_y * tb_x, -1)  # [T, N], y-major tile order
 
 
+def _membership_rows(proj: Projected, tile_bounds: Tuple[int, int],
+                     block_h: int, block_w: int,
+                     tile_start, n_tiles: int) -> jax.Array:
+    """[n_tiles, N] membership for the flat y-major tile rows
+    [tile_start, tile_start + n_tiles). ``tile_start`` may be traced (a
+    shard offset from ``lax.axis_index``); rows beyond the real grid are
+    all-False. This is the per-shard binning primitive: each device of a
+    tile-sharded mesh bins only its own rows instead of the full [T, N]
+    grid (the full-grid recompute per shard would grow with device count)."""
+    tb_x, tb_y = tile_bounds
+    xmin, xmax, ymin, ymax = tile_bbox(
+        proj.xys, proj.radii.astype(jnp.float32), tile_bounds, block_h, block_w)
+    t = tile_start + jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = t % tb_x
+    ty = t // tb_x
+    in_x = (tx[:, None] >= xmin[None, :]) & (tx[:, None] < xmax[None, :])
+    in_y = (ty[:, None] >= ymin[None, :]) & (ty[:, None] < ymax[None, :])
+    in_grid = (t < tb_x * tb_y)[:, None]
+    return in_x & in_y & in_grid & proj.valid[None, :]
+
+
 def bin_gaussians(proj: Projected, H: int, W: int, cap: int = 256,
                   block_h: int = BLOCK_H, block_w: int = BLOCK_W,
                   method: str = "top_k") -> TileBins:
@@ -71,6 +92,22 @@ def bin_gaussians(proj: Projected, H: int, W: int, cap: int = 256,
     """
     tb = tile_bounds_for(H, W, block_h, block_w)
     member = _membership(proj, tb, block_h, block_w)          # [T, N]
+    return _select_members(member, cap, method)
+
+
+def bin_gaussian_rows(proj: Projected, H: int, W: int, tile_start,
+                      n_tiles: int, cap: int = 256,
+                      block_h: int = BLOCK_H, block_w: int = BLOCK_W,
+                      method: str = "top_k") -> TileBins:
+    """`bin_gaussians` restricted to a contiguous flat tile-row range —
+    identical ids/mask/count to slicing the full result rows
+    [tile_start : tile_start+n_tiles], at 1/n_shards of the work."""
+    tb = tile_bounds_for(H, W, block_h, block_w)
+    member = _membership_rows(proj, tb, block_h, block_w, tile_start, n_tiles)
+    return _select_members(member, cap, method)
+
+
+def _select_members(member: jax.Array, cap: int, method: str) -> TileBins:
     T, N = member.shape
     count_all = jnp.sum(member, axis=1, dtype=jnp.int32)
     count = jnp.minimum(count_all, cap)

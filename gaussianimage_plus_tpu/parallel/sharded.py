@@ -26,6 +26,9 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
+MM_PRECISION = jax.lax.Precision.HIGHEST
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -88,18 +91,55 @@ def batch_train_chunk(tss: TrainState, gts: jax.Array, cfg: GaussianConfig,
     return jax.vmap(lambda ts, gt: fn(ts, gt))(tss, gts)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "n_steps", "do_prune",
+                                             "do_grow", "final_fill", "mesh", "axis"))
+def batch_train_chunk_dp(tss: TrainState, gts: jax.Array, cfg: GaussianConfig,
+                         tcfg: TrainConfig, n_steps: int, do_prune: bool,
+                         do_grow: bool, final_fill: bool, mesh: Mesh,
+                         axis: str = "data"):
+    """Data-parallel train chunk via shard_map: each device runs the
+    UNBATCHED ``train_chunk`` program over its local images (``lax.map``
+    when more than one per device).
+
+    This is the scaling-efficiency fix over the vmapped ``batch_train_chunk``:
+    vmap turns the per-image gathers/scatters/top_k into batched variants that
+    cost ~5x per image on one device; under shard_map the per-device program
+    is literally the single-image step, so per-device throughput matches the
+    1-image fit."""
+    from jax import shard_map
+
+    fn = functools.partial(train_chunk.__wrapped__, cfg=cfg, tcfg=tcfg,
+                           n_steps=n_steps, do_prune=do_prune, do_grow=do_grow,
+                           final_fill=final_fill)
+
+    def body(tss_l, gts_l):
+        b_local = gts_l.shape[0]
+        if b_local == 1:
+            ts1, m = fn(jax.tree.map(lambda x: x[0], tss_l), gts_l[0])
+            return (jax.tree.map(lambda x: x[None], ts1),
+                    jax.tree.map(lambda x: x[None], m))
+        return jax.lax.map(lambda tg: fn(tg[0], tg[1]), (tss_l, gts_l))
+
+    return shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                     out_specs=P(axis), check_vma=False)(tss, gts)
+
+
 def fit_batch(images: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
               num_points: int, mesh: Optional[Mesh] = None, seed: int = 3047,
-              progress=None):
+              progress=None, axis: str = "data"):
     """Fit a batch of same-shaped images in parallel; returns final TrainState.
 
     Replaces the reference's sequential dataset loop (train.py:294-308).
+    With a mesh, uses the shard_map per-device-unbatched chunk
+    (``batch_train_chunk_dp``); without one, the vmapped single-device chunk.
     """
     B = images.shape[0]
     tss = init_batch_train_state(cfg, tcfg, num_points, B, seed)
+    images = jnp.asarray(images)
+    use_dp = mesh is not None and B % mesh.shape[axis] == 0
     if mesh is not None:
-        tss = shard_batch(tss, mesh)
-        images = shard_batch(jnp.asarray(images), mesh)
+        tss = shard_batch(tss, mesh, axis)
+        images = shard_batch(images, mesh, axis)
     chunk = tcfg.prune_iter
     n_chunks = tcfg.iterations // chunk
     for ci in range(n_chunks):
@@ -107,8 +147,13 @@ def fit_batch(images: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
         do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
                    and it_end < tcfg.iterations)
         final_fill = it_end == tcfg.iterations - tcfg.grow_iter
-        tss, m = batch_train_chunk(tss, images, cfg, tcfg, chunk,
-                                   tcfg.prune, do_grow, final_fill)
+        if use_dp:
+            tss, m = batch_train_chunk_dp(tss, images, cfg, tcfg, chunk,
+                                          tcfg.prune, do_grow, final_fill,
+                                          mesh, axis)
+        else:
+            tss, m = batch_train_chunk(tss, images, cfg, tcfg, chunk,
+                                       tcfg.prune, do_grow, final_fill)
         if progress is not None:
             progress(it_end, m)
     return tss
@@ -118,47 +163,18 @@ def fit_batch(images: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
 # Tile-grid sharding for one large image
 # --------------------------------------------------------------------------
 
-def _loss_tile_sharded(params: GaussianParams, state: GaussianState,
-                       gt_tiles: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
-                       axis: str):
-    """Per-shard loss: project (replicated) -> bin/rasterize local tiles ->
-    local SSE, psum to the full-image mean. Differentiating through this
-    shard_map body auto-inserts the gradient psum over ``axis`` for the
-    replicated Gaussian parameters."""
-    proj = project(params, state.active, state.bound, cfg)
-    # local tile range: shard_map has already split gt_tiles [T_local, P, 3]
-    n_local = gt_tiles.shape[0]
-    shard_idx = jax.lax.axis_index(axis)
-    # bin against local tiles only: shift tile window by recomputing membership
-    # over the full grid then slicing is wasteful; instead bin over the full
-    # grid and slice the local rows (binning is [T, N] — cheap bool work).
-    bins = bin_gaussians(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
-                         block_h=cfg.block_h, block_w=cfg.block_w,
-                         method=cfg.bin_method)
-    start = shard_idx * n_local
-    ids = jax.lax.dynamic_slice_in_dim(bins.ids, start, n_local, 0)
-    mask = jax.lax.dynamic_slice_in_dim(bins.mask, start, n_local, 0)
+def _raster_tiles_local(xys, conics, colors, opacity, ids, mask, tile_start, cfg):
+    """Rasterize a contiguous tile-row range -> [Tl, P, 3] (unclamped).
 
-    # rasterize local tiles directly in tile layout
-    from ..core.render_tiled import _raster_core
-    colors = colors_of(params, cfg)
-    opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)
-    # local tile geometry: reuse core with an offset: build a custom raster
-    (tb_x, tb_y, phi, lmx, lmy, c1, c2, c3, g_op, vis, alpha, contrib,
-     weights) = _raster_core_local(proj.xys, proj.conics, colors, opacity,
-                                   ids, mask, start, cfg)
-    g_col = colors[ids]
-    tiles = jnp.einsum('tpk,tkc->tpc', weights, g_col)
-    tiles = jnp.clip(tiles, 0.0, 1.0)
-    sse = jnp.sum((tiles - gt_tiles) ** 2)
-    total = jax.lax.psum(sse, axis)
-    return total / (cfg.H * cfg.W * 3)
-
-
-def _raster_core_local(xys, conics, colors, opacity, ids, mask, tile_start, cfg):
-    """_raster_core specialized to a contiguous local tile range."""
+    Same blend math as core/render_tiled._raster_core with offset tile
+    origins, expressed for plain autodiff with the dense-oracle gradient
+    conventions (core/render_dense.py): ``min(1, .)`` saturation passes its
+    gradient through (backward.cu:1310), and the packed off-diagonal conic
+    receives HALF its cotangent (backward.cu:1313-1315) because the
+    projection VJP treats it as a full matrix element (helpers.cuh:384-395).
+    """
     from ..core.render_tiled import _pixel_features, _quad_coeffs
-    from ..core.gaussian2d import tile_bounds_for
+    from ..core.gaussian2d import ALPHA_THRESHOLD, tile_bounds_for
 
     tb_x, tb_y = tile_bounds_for(cfg.H, cfg.W, cfg.block_h, cfg.block_w)
     n_local = ids.shape[0]
@@ -171,20 +187,22 @@ def _raster_core_local(xys, conics, colors, opacity, ids, mask, tile_start, cfg)
     g_xy = xys[ids]
     g_con = conics[ids]
     g_op = opacity.reshape(-1)[ids]
+    g_col = colors[ids]
     lmx = g_xy[..., 0] - tx0[:, None]
     lmy = g_xy[..., 1] - ty0[:, None]
-    c1, c2, c3 = g_con[..., 0], g_con[..., 1], g_con[..., 2]
+    c1, c3 = g_con[..., 0], g_con[..., 2]
+    # halved-c2 cotangent convention (value unchanged)
+    c2_raw = g_con[..., 1]
+    c2 = 0.5 * c2_raw + jax.lax.stop_gradient(0.5 * c2_raw)
     w = _quad_coeffs(lmx, lmy, c1, c2, c3)
     phi = _pixel_features(ppx, ppy)
-    sigma = jnp.einsum('pf,tkf->tpk', phi, w)
+    sigma = jnp.einsum('pf,tkf->tpk', phi, w, precision=MM_PRECISION)
     vis = jnp.exp(-sigma)
     alpha_raw = g_op[:, None, :] * vis
     alpha = alpha_raw - jax.lax.stop_gradient(jnp.maximum(alpha_raw - 1.0, 0.0))
-    from ..core.gaussian2d import ALPHA_THRESHOLD
     contrib = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & mask[:, None, :]
     weights = jnp.where(contrib, alpha, 0.0)
-    return (tb_x, tb_y, phi, lmx, lmy, c1, c2, c3, g_op, vis, alpha,
-            contrib, weights)
+    return jnp.einsum('tpk,tkc->tpc', weights, g_col, precision=MM_PRECISION)
 
 
 def image_to_tile_rows(gt: jax.Array, cfg: GaussianConfig) -> jax.Array:
@@ -196,35 +214,71 @@ def image_to_tile_rows(gt: jax.Array, cfg: GaussianConfig) -> jax.Array:
     return _image_to_tiles(gt, tb_x, tb_y, cfg.block_h, cfg.block_w)
 
 
-def tile_sharded_train_step(mesh: Mesh, cfg: GaussianConfig, tcfg: TrainConfig,
-                            axis: str = "tile"):
-    """Build a jitted train step whose rasterization is sharded over tiles.
+def make_tile_sharded_render(mesh: Mesh, cfg: GaussianConfig,
+                             axis: str = "tile"):
+    """Build ``render_fn(state, cfg) -> [H, W, 3]`` with the tile grid
+    sharded over mesh axis ``axis``.
 
-    Gaussian params replicated; gt pre-split into tile rows sharded over
-    ``axis``; grads psum'd automatically by shard_map transposition. L2 loss
-    only (the tile-sharded path is a scale-out of the default recipe).
+    Each device projects (replicated — tiny), bins ONLY its own tile rows
+    (``bin_gaussian_rows``; the per-shard binning work shrinks with the
+    device count), rasterizes them, and the rendered tiles are
+    ``all_gather``ed into the full image. The result is replicated and equal
+    to the unsharded render for ANY image size — tile padding is cropped
+    before any loss sees it, so arbitrary (non-multiple-of-16) H/W match the
+    unsharded loss exactly. Backward: the all_gather transposes to a slice,
+    each shard backprops its local raster, and shard_map transposition
+    psums the replicated-parameter gradients over ``axis`` (the mesh-level
+    analogue of the reference backward's atomicAdd, backward.cu:1330-1344).
+
+    Plug the result into ``train_step``/``train_chunk``/``fit_image`` via
+    their ``render_fn`` argument: the full trainer — loss library, PSNR
+    best-snapshot, grow/prune — runs unchanged on top.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
+    from ..core.binning import bin_gaussian_rows
+    from ..core.gaussian2d import tile_bounds_for
+    from ..core.render_tiled import _tiles_to_image
 
-    tx = optax.adam(learning_rate=lambda c: tcfg.lr * tcfg.lr_gamma ** (c // tcfg.lr_step_size),
-                    eps=1e-15, eps_root=0.0)
+    tb_x, tb_y = tile_bounds_for(cfg.H, cfg.W, cfg.block_h, cfg.block_w)
+    T = tb_x * tb_y
+    n_dev = mesh.shape[axis]
+    n_local = -(-T // n_dev)
+    bin_method = "top_k" if cfg.bin_method == "pallas" else cfg.bin_method
 
-    def loss_fn(params, state, gt_tiles):
-        body = functools.partial(_loss_tile_sharded, cfg=cfg, tcfg=tcfg, axis=axis)
-        fn = shard_map(body, mesh=mesh,
-                       in_specs=(P(), P(), P(axis)),
-                       out_specs=P(),
-                       check_rep=False)
-        return fn(params, state, gt_tiles)
+    def body(params, active, bound):
+        proj = project(params, active, bound, cfg)
+        start = jax.lax.axis_index(axis) * n_local
+        bins = bin_gaussian_rows(proj, cfg.H, cfg.W, start, n_local,
+                                 cap=cfg.tile_cap, block_h=cfg.block_h,
+                                 block_w=cfg.block_w, method=bin_method)
+        colors = colors_of(params, cfg)
+        opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)
+        tiles = _raster_tiles_local(proj.xys, proj.conics, colors, opacity,
+                                    bins.ids, bins.mask, start, cfg)
+        all_tiles = jax.lax.all_gather(tiles, axis, axis=0, tiled=True)
+        img = _tiles_to_image(all_tiles[:T], cfg.H, cfg.W, tb_x, tb_y,
+                              cfg.block_h, cfg.block_w)
+        return jnp.clip(img, 0.0, 1.0)
 
-    @jax.jit
-    def step(state: GaussianState, opt_state, gt_tiles):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, state, gt_tiles))(state.params)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        updates = jax.tree.map(
-            lambda u: jnp.where(state.active[:, None], u, 0.0), updates)
-        params = optax.apply_updates(state.params, updates)
-        return state.replace(params=params), opt_state, loss
+    smapped = shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                        out_specs=P(), check_vma=False)
 
-    return step, tx
+    def render_fn(state: GaussianState, _cfg: GaussianConfig) -> jax.Array:
+        return smapped(state.params, state.active, state.bound)
+
+    return render_fn
+
+
+def fit_image_tile_sharded(gt, cfg: GaussianConfig, tcfg: TrainConfig,
+                           num_points: int, mesh: Optional[Mesh] = None,
+                           axis: str = "tile", **kwargs):
+    """`train.fit_image` with the rasterizer sharded over a device mesh —
+    the scale-out path for images whose tile grid exceeds one device's
+    comfort (DIV2K 2K and beyond). Full trainer semantics (losses,
+    grow/prune, best snapshot, checkpointing kwargs) are inherited."""
+    from ..train.trainer import fit_image
+
+    if mesh is None:
+        mesh = make_mesh(axis_names=(axis,))
+    render_fn = make_tile_sharded_render(mesh, cfg, axis)
+    return fit_image(gt, cfg, tcfg, num_points, render_fn=render_fn, **kwargs)

@@ -120,15 +120,19 @@ def _zero_state_rows(opt_state, mask: jax.Array):
 
 
 def train_step(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
-               tcfg: TrainConfig, tx: optax.GradientTransformation):
+               tcfg: TrainConfig, tx: optax.GradientTransformation,
+               render_fn=None):
     """One optimizer step (train_iter, gaussianimage_covariance.py:249-259).
 
-    Returns (new_ts, (loss, psnr, pre-update render)).
+    ``render_fn(state, cfg) -> [H, W, 3]`` overrides the render (e.g. the
+    tile-sharded mesh render from ``parallel.sharded``); default is the
+    single-device path. Returns (new_ts, (loss, psnr, pre-update render)).
     """
     gs = ts.gaussians
+    _render = render if render_fn is None else render_fn
 
     def objective(params: GaussianParams):
-        img = render(gs.replace(params=params), cfg)
+        img = _render(gs.replace(params=params), cfg)
         return loss_fn(img, gt, tcfg.loss_type, tcfg.lambda_value), img
 
     (loss, img), grads = jax.value_and_grad(objective, has_aux=True)(gs.params)
@@ -166,24 +170,31 @@ def train_step(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
     return ts, (loss, cur_psnr, img)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "n_steps", "do_prune", "do_grow"))
-def train_chunk(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
-                tcfg: TrainConfig, n_steps: int, do_prune: bool,
-                do_grow: bool, final_fill: bool = False):
-    """``n_steps`` fused train steps + optional prune + optional growth.
+def _grow_ts(ts: TrainState, gt, cfg, tcfg, last_img, final_fill):
+    k_grow, key = jax.random.split(ts.key)
+    gs, n_added, new_mask = grow(
+        ts.gaussians, cfg, last_img, gt, k_grow,
+        final_fill=jnp.asarray(final_fill),
+        base_num_samples=tcfg.base_num_samples)
+    opt_state = _zero_state_rows(ts.opt_state, new_mask)
+    return ts.replace(gaussians=gs, opt_state=opt_state, key=key), n_added
 
-    Returns (ts, metrics dict of per-chunk arrays).
-    """
+
+def _train_chunk_impl(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
+                      tcfg: TrainConfig, n_steps: int, do_prune: bool,
+                      do_grow: bool, final_fill=False, render_fn=None,
+                      carry_img=None):
     tx = make_optimizer(tcfg)
 
     def body(carry, _):
         ts, _img = carry
-        ts, (loss, p, img) = train_step(ts, gt, cfg, tcfg, tx)
+        ts, (loss, p, img) = train_step(ts, gt, cfg, tcfg, tx, render_fn)
         return (ts, img), (loss, p)
 
-    dummy_img = jnp.zeros((cfg.H, cfg.W, 3))
+    if carry_img is None:
+        carry_img = jnp.zeros((cfg.H, cfg.W, 3))
     (ts, last_img), (losses, psnrs) = jax.lax.scan(
-        body, (ts, dummy_img), None, length=n_steps)
+        body, (ts, carry_img), None, length=n_steps)
 
     n_pruned = jnp.zeros((), jnp.int32)
     if do_prune:
@@ -192,16 +203,59 @@ def train_chunk(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
 
     n_added = jnp.zeros((), jnp.int32)
     if do_grow:
-        k_grow, key = jax.random.split(ts.key)
-        gs, n_added, new_mask = grow(
-            ts.gaussians, cfg, last_img, gt, k_grow,
-            final_fill=jnp.asarray(final_fill),
-            base_num_samples=tcfg.base_num_samples)
-        opt_state = _zero_state_rows(ts.opt_state, new_mask)
-        ts = ts.replace(gaussians=gs, opt_state=opt_state, key=key)
+        ts, n_added = _grow_ts(ts, gt, cfg, tcfg, last_img, final_fill)
 
     return ts, {"loss": losses, "psnr": psnrs, "n_pruned": n_pruned,
-                "n_added": n_added}
+                "n_added": n_added}, last_img
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "n_steps", "do_prune",
+                                             "do_grow", "render_fn"))
+def train_chunk(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
+                tcfg: TrainConfig, n_steps: int, do_prune: bool,
+                do_grow: bool, final_fill=False, render_fn=None):
+    """``n_steps`` fused train steps + optional prune + optional growth.
+
+    Returns (ts, metrics dict of per-chunk arrays).
+    """
+    ts, m, _ = _train_chunk_impl(ts, gt, cfg, tcfg, n_steps, do_prune, do_grow,
+                                 final_fill, render_fn)
+    return ts, m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tcfg", "n_chunks", "chunk",
+                                             "do_prune", "do_grow", "render_fn"))
+def train_macro_chunk(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
+                      tcfg: TrainConfig, n_chunks: int, chunk: int,
+                      do_prune: bool, do_grow: bool, final_fill=False,
+                      render_fn=None):
+    """``n_chunks`` prune-cadence chunks fused into ONE jit dispatch.
+
+    Shapes are static, so the prune at every ``chunk`` boundary is
+    scan-compatible; growth (if any) fires once at the END of the macro chunk
+    on the same pre-update render `train_chunk` would use — call with
+    ``n_chunks*chunk == grow_iter`` and the result is step-for-step identical
+    to ``n_chunks`` successive ``train_chunk`` calls. Exists because
+    remote-dispatch overhead per call can rival the device time of a 100-step
+    chunk; one macro chunk per grow period cuts the dispatch count by
+    grow_iter/prune_iter (50x at the reference cadence)."""
+
+    def body(carry, _):
+        ts, img = carry
+        ts, m, img = _train_chunk_impl(ts, gt, cfg, tcfg, chunk, do_prune,
+                                       False, False, render_fn, carry_img=img)
+        return (ts, img), (m["loss"], m["psnr"], m["n_pruned"])
+
+    dummy = jnp.zeros((cfg.H, cfg.W, 3))
+    (ts, last_img), (losses, psnrs, n_pruned) = jax.lax.scan(
+        body, (ts, dummy), None, length=n_chunks)
+
+    n_added = jnp.zeros((), jnp.int32)
+    if do_grow:
+        ts, n_added = _grow_ts(ts, gt, cfg, tcfg, last_img, final_fill)
+
+    return ts, {"loss": losses.reshape(-1), "psnr": psnrs.reshape(-1),
+                "n_pruned": jnp.sum(n_pruned), "n_added": n_added}
 
 
 def restore_best(ts: TrainState) -> GaussianState:
@@ -221,31 +275,74 @@ class FitResult(NamedTuple):
 
 def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
               num_points: int, seed: int = 3047,
-              log_every: Optional[int] = None, logger=None) -> FitResult:
+              log_every: Optional[int] = None, logger=None,
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 5000,
+              resume: bool = False,
+              stop_after_iter: Optional[int] = None,
+              render_fn=None) -> FitResult:
     """Full single-image fit (train.py:120-176): chunked jit loop with the
-    reference's prune/grow cadence, then restore the best snapshot."""
+    reference's prune/grow cadence, then restore the best snapshot.
+
+    Robustness hooks (the reference restarts from scratch on any crash;
+    long sweeps here survive backend aborts):
+    - ``checkpoint_dir``: save the full TrainState every ``checkpoint_every``
+      iterations (orbax; exact resume — the PRNG key rides in the state).
+    - ``resume``: continue from the checkpoint if one exists.
+    - ``stop_after_iter``: checkpoint and return early at this iteration
+      (time-budgeted runs; the returned FitResult is the best-so-far).
+    """
     ts = init_train_state(cfg, tcfg, num_points, seed)
     gt = jnp.asarray(gt)
     chunk = tcfg.prune_iter
     assert tcfg.iterations % chunk == 0, "iterations must divide by prune_iter"
-    n_chunks = tcfg.iterations // chunk
     history = {"loss": [], "psnr": []}
 
+    # dispatch granularity: one jit call per grow period when the cadences
+    # line up (remote dispatch overhead per call rivals the device time of a
+    # 100-step chunk; train_macro_chunk is step-for-step identical)
+    seg = tcfg.grow_iter if (tcfg.grow_iter % chunk == 0
+                             and tcfg.iterations % tcfg.grow_iter == 0) else chunk
+
+    ckpt_path = None
+    start_iter = 0
+    if checkpoint_dir is not None:
+        import os
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+        ckpt_path = os.path.join(checkpoint_dir, "fit_ckpt")
+        if resume and os.path.exists(ckpt_path):
+            ts, extra = load_checkpoint(ckpt_path, ts)
+            start_iter = int(extra["next_iter"])
+            if log_every:
+                (logger.write if logger else print)(
+                    f"resumed at iter {start_iter}")
+
     t0 = time.perf_counter()
-    for ci in range(n_chunks):
-        it_end = (ci + 1) * chunk
+    for it0 in range(start_iter, tcfg.iterations, seg):
+        it_end = it0 + seg
         do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
                    and it_end < tcfg.iterations)
         final_fill = it_end == tcfg.iterations - tcfg.grow_iter
-        ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune,
-                            do_grow, final_fill)
-        if log_every and it_end % log_every == 0:
+        if seg == chunk:
+            ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune,
+                                do_grow, final_fill, render_fn)
+        else:
+            ts, m = train_macro_chunk(ts, gt, cfg, tcfg, seg // chunk, chunk,
+                                      tcfg.prune, do_grow, final_fill,
+                                      render_fn)
+        if log_every and (it_end % log_every == 0 or seg >= log_every):
             lp = float(m["psnr"][-1])
             msg = (f"iter {it_end}: psnr {lp:.4f} best {float(ts.best_psnr):.4f} "
                    f"n {int(ts.gaussians.num_active)}")
             (logger.write if logger else print)(msg)
         history["loss"].append(m["loss"])
         history["psnr"].append(m["psnr"])
+        stopping = stop_after_iter is not None and it_end >= stop_after_iter
+        if ckpt_path and (it_end % checkpoint_every == 0 or stopping) \
+                and it_end < tcfg.iterations:
+            save_checkpoint(ckpt_path, ts, extra={"next_iter": it_end})
+        if stopping:
+            break
     jax.block_until_ready(ts.gaussians.params.xyz)
     train_time = time.perf_counter() - t0
 

@@ -176,3 +176,54 @@ class TestPsdClamp:
         from gaussianimage_plus_tpu.models import psd_mask_effective
         ok = np.asarray(psd_mask_effective(ts.gaussians, cfg))[:32]
         assert ok.all()
+
+
+class TestMacroChunk:
+    def test_matches_sequential_chunks(self):
+        """One macro dispatch (scan of prune chunks + grow) must be
+        step-for-step identical to the equivalent train_chunk sequence."""
+        from gaussianimage_plus_tpu.train.trainer import train_macro_chunk
+
+        cfg = small_cfg()
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.05)
+        gt = jnp.asarray(np.random.default_rng(3).uniform(
+            0, 1, (cfg.H, cfg.W, 3)).astype(np.float32))
+        ts_a = init_train_state(cfg, tcfg, 16, seed=11)
+        ts_b = ts_a
+        psnrs_a = []
+        for ci in range(2):
+            do_grow = ci == 1
+            ts_a, m = train_chunk(ts_a, gt, cfg, tcfg, 50, True, do_grow, False)
+            psnrs_a.append(np.asarray(m["psnr"]))
+        ts_b, mb = train_macro_chunk(ts_b, gt, cfg, tcfg, 2, 50, True, True, False)
+        np.testing.assert_allclose(np.concatenate(psnrs_a),
+                                   np.asarray(mb["psnr"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ts_a.gaussians.params.xyz),
+                                   np.asarray(ts_b.gaussians.params.xyz),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ts_a.gaussians.active),
+                                      np.asarray(ts_b.gaussians.active))
+        assert float(ts_a.best_psnr) == pytest.approx(float(ts_b.best_psnr), abs=1e-5)
+
+
+class TestFitResume:
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        """A fit stopped mid-way and resumed from its checkpoint must land on
+        the same result as an uninterrupted fit (backend-abort recovery)."""
+        from gaussianimage_plus_tpu.train.trainer import fit_image
+
+        cfg = small_cfg()
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.05)
+        gt = np.random.default_rng(5).uniform(
+            0, 1, (cfg.H, cfg.W, 3)).astype(np.float32)
+        res_full = fit_image(gt, cfg, tcfg, num_points=16, seed=9)
+        ck = str(tmp_path / "ck")
+        res_half = fit_image(gt, cfg, tcfg, num_points=16, seed=9,
+                             checkpoint_dir=ck, checkpoint_every=100,
+                             stop_after_iter=100)
+        res_resumed = fit_image(gt, cfg, tcfg, num_points=16, seed=9,
+                                checkpoint_dir=ck, resume=True)
+        assert res_resumed.best_psnr == pytest.approx(res_full.best_psnr, abs=1e-4)
+        np.testing.assert_allclose(np.asarray(res_resumed.state.params.xyz),
+                                   np.asarray(res_full.state.params.xyz),
+                                   atol=1e-5)
