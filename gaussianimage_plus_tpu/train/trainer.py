@@ -354,11 +354,15 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
 
 
 def evaluate(state: GaussianState, gt: jax.Array, cfg: GaussianConfig,
-             n_renders: int = 100, fast: bool = False) -> dict:
+             n_renders: int = 100, fast: bool = False,
+             lpips_weights: Optional[str] = None) -> dict:
     """Reference eval protocol (train.py:178-191): 1 warmup + n timed renders.
 
     ``fast=True`` uses the dense binning-free forward kernel (TPU only).
-    Timing sync is a host fetch (reliable on remote runtimes).
+    ``lpips_weights``: path to an LPIPS-VGG weight .npz (train/lpips.py);
+    when given, the returned dict gains an ``lpips`` entry
+    (models/metrics.py:62-95 protocol). Timing sync is a host fetch
+    (reliable on remote runtimes).
     """
     import numpy as _np
 
@@ -383,10 +387,15 @@ def evaluate(state: GaussianState, gt: jax.Array, cfg: GaussianConfig,
     gt = jnp.asarray(gt)
     metrics = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
     psnr_v, msssim_v = metrics(out, gt)
-    return {
+    result = {
         "psnr": float(psnr_v),
         "ms_ssim": float(msssim_v),
         "eval_time": dt,
         "fps": 1.0 / dt,
         "num_points": int(state.num_active),
     }
+    if lpips_weights is not None:
+        from .lpips import lpips, params_from_npz
+
+        result["lpips"] = float(lpips(out, gt, params_from_npz(lpips_weights)))
+    return result

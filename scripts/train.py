@@ -47,6 +47,9 @@ def parse_args(argv):
                    help="checkpoint dir to resume/eval from (reference "
                         "train.py:61-77 semantics: load state, skip to eval "
                         "when --iterations 0)")
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="LPIPS-VGG .npz weight file; adds LPIPS to the eval "
+                        "report (models/metrics.py:62-95)")
     return p.parse_args(argv)
 
 
@@ -113,7 +116,7 @@ def main(argv):
         else:
             res = fit_image(gt, cfg, tcfg, args.num_points, seed=args.seed,
                             log_every=args.log_every, logger=img_log)
-        ev = evaluate(res.state, gt, cfg)
+        ev = evaluate(res.state, gt, cfg, lpips_weights=args.lpips_weights)
         save_checkpoint(log_dir / image_path.stem / "gaussian_model", res.state,
                         extra={"psnr": res.best_psnr, "ms_ssim": ev["ms_ssim"]})
         if args.save_imgs:
@@ -122,7 +125,9 @@ def main(argv):
                        log_dir / image_path.stem / "render.png")
         logwriter.write(
             f"{image_path.stem}\t{H}x{W}\tPSNR\t{ev['psnr']:.4f}\tMS-SSIM\t"
-            f"{ev['ms_ssim']:.4f}\tTraining\t{res.train_time:.4f}\tEval\t"
+            f"{ev['ms_ssim']:.4f}\t"
+            + (f"LPIPS\t{ev['lpips']:.4f}\t" if 'lpips' in ev else "")
+            + f"Training\t{res.train_time:.4f}\tEval\t"
             f"{ev['eval_time']:.8f}\tFPS\t{ev['fps']:.4f}\tgs_nums\t{ev['num_points']:.2e}")
         psnrs.append(ev["psnr"]); ms_ssims.append(ev["ms_ssim"])
         train_times.append(res.train_time); eval_fpses.append(ev["fps"])
