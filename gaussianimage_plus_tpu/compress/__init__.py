@@ -24,6 +24,11 @@ from .residual_vq import (
     residual_vq_decode,
     residual_vq_forward,
 )
+from .bitstream import (
+    decode_bitstream,
+    deserialize_bitstream,
+    serialize_bitstream,
+)
 from .pipeline import (
     Encoding,
     QuantConfig,

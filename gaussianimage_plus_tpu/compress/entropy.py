@@ -135,25 +135,47 @@ def categorical_bits(matrix) -> int:
                unique.size * unique.itemsize * 8)
 
 
-def gaussian_global_bits(matrix) -> int:
-    """Size in bits of the stream under a global quantized-Gaussian model
-    (compress_matrix_flatten_gaussian_global, utils.py:94-110)."""
-    flat = np.asarray(matrix, dtype=np.float64).reshape(-1)
-    mean = float(flat.mean())
-    std = float(np.clip(flat.std(ddof=1) if flat.size > 1 else 1.0, 1e-5, 1e10))
-    vmin = int(np.floor(flat.min()))
-    vmax = int(np.ceil(flat.max()))
-    if vmin == vmax:
-        vmax = vmin + 1
-    support = np.arange(vmin, vmax + 1)
-    # discretized Gaussian pmf over the integer support
+def gaussian_counts(mean: float, std: float, vmin: int, vmax: int) -> np.ndarray:
+    """Discretized-Gaussian rANS histogram over integer support [vmin, vmax]
+    (compress_matrix_flatten_gaussian_global, utils.py:94-110). Deterministic
+    in (mean, std, vmin, vmax), so a decoder rebuilds the same table from
+    four scalars — no histogram is shipped."""
     from math import erf, sqrt
+
+    support = np.arange(vmin, vmax + 1)
 
     def cdf(x):
         return 0.5 * (1.0 + erf((x - mean) / (std * sqrt(2.0))))
 
     pmf = np.array([max(cdf(s + 0.5) - cdf(s - 0.5), 1e-12) for s in support])
-    counts = np.maximum((pmf / pmf.sum() * (1 << 16)).astype(np.uint32), 1)
+    return np.maximum((pmf / pmf.sum() * (1 << 16)).astype(np.uint32), 1)
+
+
+def compress_gaussian(matrix):
+    """(words, mean_f32, std_f32, vmin, vmax): global-Gaussian-model stream.
+    mean/std are rounded to f32 BEFORE building the table so encoder and
+    decoder (which receives f32) agree bit-for-bit."""
+    flat = np.asarray(matrix, dtype=np.float64).reshape(-1)
+    mean = float(np.float32(flat.mean()))
+    std = float(np.float32(
+        np.clip(flat.std(ddof=1) if flat.size > 1 else 1.0, 1e-5, 1e10)))
+    vmin = int(np.floor(flat.min()))
+    vmax = int(np.ceil(flat.max()))
+    if vmin == vmax:
+        vmax = vmin + 1
+    counts = gaussian_counts(mean, std, vmin, vmax)
     symbols = (np.rint(flat).astype(np.int64) - vmin).astype(np.int32)
-    words = encode_rans(symbols, counts)
+    return encode_rans(symbols, counts), mean, std, vmin, vmax
+
+
+def decompress_gaussian(words, mean: float, std: float, vmin: int, vmax: int,
+                        n: int) -> np.ndarray:
+    counts = gaussian_counts(mean, std, vmin, vmax)
+    return decode_rans(words, counts, n).astype(np.int64) + vmin
+
+
+def gaussian_global_bits(matrix) -> int:
+    """Size in bits of the stream under the global quantized-Gaussian model
+    (the reference only uses this size, for bpp_wc; train_quantize.py:250-252)."""
+    words, *_ = compress_gaussian(matrix)
     return int(words.size * 16)

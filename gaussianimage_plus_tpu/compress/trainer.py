@@ -117,9 +117,16 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
 
 def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
                        gt, cfg: GaussianConfig, qcfg: QuantConfig,
-                       n_renders: int = 100) -> dict:
+                       n_renders: int = 100,
+                       write_bitstream: Optional[str] = None) -> dict:
     """encode() deliverables (train_quantize.py:239-269): codes, decode FPS,
-    bpp decomposition, quantized PSNR / MS-SSIM."""
+    bpp decomposition, quantized PSNR / MS-SSIM.
+
+    ``write_bitstream``: also serialize the full rANS bitstream to this path,
+    decode it back, and report ``bpp_stream`` (actual artifact bits / pixel)
+    plus ``stream_psnr`` of the render decoded from the bytes — the
+    round-trip capability of the reference's compress()/decompress()
+    (gaussianimage_cholesky.py:419-447)."""
     gt = jnp.asarray(gt)
     compress_jit = jax.jit(
         lambda s: compress_wo_ec(bundle, s, cfg, qcfg))
@@ -173,4 +180,14 @@ def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
     stats["feature_dc_bpp_wc"] = gaussian_global_bits(col_codes) / hw
     stats["bpp_wc"] = (stats["position_bpp"] + stats["cholesky_bpp_wc"]
                        + stats["feature_dc_bpp_wc"])
+
+    if write_bitstream is not None:
+        from .bitstream import decode_bitstream, serialize_bitstream
+
+        data = serialize_bitstream(bundle, enc, cfg, qcfg)
+        with open(write_bitstream, "wb") as f:
+            f.write(data)
+        img_rt, dec = decode_bitstream(data)
+        stats["bpp_stream"] = dec.bpp
+        stats["stream_psnr"] = float(psnr_fn(img_rt, gt))
     return stats

@@ -38,6 +38,10 @@ def parse_args(argv):
     p.add_argument("--num_images", type=int, default=None)
     p.add_argument("--log_dir", type=str, default="./checkpoints_quant")
     p.add_argument("--log_every", type=int, default=10000)
+    p.add_argument("--write_bitstream", action="store_true",
+                   help="serialize the full rANS bitstream per image "
+                        "(<log_dir>/<image>.gipb), decode it back, and "
+                        "report bpp_stream/stream_psnr")
     return p.parse_args(argv)
 
 
@@ -83,7 +87,10 @@ def main(argv):
         res = fit_image_quantized(gt, cfg, tcfg, qcfg, args.num_points,
                                   warmup_iter=args.warmup_iter, seed=args.seed,
                                   log_every=args.log_every, logger=logwriter)
-        stats = encode_decode_eval(res.state, res.bundle, gt, cfg, qcfg)
+        bs_path = (str(Path(args.log_dir) / f"{Path(name).stem}.gipb")
+                   if args.write_bitstream else None)
+        stats = encode_decode_eval(res.state, res.bundle, gt, cfg, qcfg,
+                                   write_bitstream=bs_path)
         logwriter.write(
             "{} Eval time:{:.8f}s, FPS:{:.4f} PSNR:{:.4f}, MS_SSIM:{:.6f}, "
             "bpp:{:.4f} position_bpp:{:.4f}, cholesky_bpp:{:.4f}, feature_dc_bpp:{:.4f}".format(
