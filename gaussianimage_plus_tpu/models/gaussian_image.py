@@ -67,7 +67,8 @@ class GaussianConfig:
     tile_cap: int = struct.field(pytree_node=False, default=256)
     block_h: int = struct.field(pytree_node=False, default=BLOCK_H)
     block_w: int = struct.field(pytree_node=False, default=BLOCK_W)
-    bin_method: str = struct.field(pytree_node=False, default="top_k")
+    # 'auto' = flat top_k at Kodak scale, two-level 'hier' for large grids
+    bin_method: str = struct.field(pytree_node=False, default="auto")
     # rasterizer backend: 'pallas' (fused TPU kernels), 'xla' (pure-JAX tiled
     # path), or 'auto' (pallas on TPU, xla elsewhere)
     raster_backend: str = struct.field(pytree_node=False, default="auto")

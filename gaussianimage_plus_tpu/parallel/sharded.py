@@ -243,7 +243,10 @@ def make_tile_sharded_render(mesh: Mesh, cfg: GaussianConfig,
     T = tb_x * tb_y
     n_dev = mesh.shape[axis]
     n_local = -(-T // n_dev)
-    bin_method = "top_k" if cfg.bin_method == "pallas" else cfg.bin_method
+    # per-shard row binning is already 1/n_shards of the work; the pallas and
+    # hier methods don't apply to row ranges — fall back to top_k selection
+    bin_method = ("top_k" if cfg.bin_method in ("pallas", "hier", "auto")
+                  else cfg.bin_method)
 
     def body(params, active, bound):
         proj = project(params, active, bound, cfg)

@@ -1,6 +1,7 @@
 """Model state-machine (grow/prune) invariants and trainer integration."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 

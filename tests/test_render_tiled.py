@@ -190,3 +190,51 @@ class TestNdChannels:
 
         g = jax.grad(f)(colors)
         assert g.shape == colors.shape and np.isfinite(np.asarray(g)).all()
+
+
+class TestHierBinning:
+    def test_matches_flat_various_grids(self):
+        """Two-level binning must equal flat binning exactly (ids, mask,
+        count) across grid sizes, incl. grids not divisible by the
+        super-tile size and Gaussians spanning super-tile borders."""
+        for n, H, W, ss, seed in ((120, 48, 80, 2, 3), (200, 160, 240, 4, 5),
+                                  (80, 176, 144, 8, 7), (300, 96, 96, 3, 9)):
+            xy, cov, colors, opacity, H, W = make_scene(n=n, H=H, W=W, seed=seed)
+            proj = project_gaussians_2d_covariance(xy, cov, H, W)
+            flat = bin_gaussians(proj, H, W, cap=32, method="top_k")
+            hier = bin_gaussians(proj, H, W, cap=32, method="hier",
+                                 super_size=ss, super_cap=n)
+            np.testing.assert_array_equal(np.asarray(flat.mask),
+                                          np.asarray(hier.mask))
+            np.testing.assert_array_equal(
+                np.asarray(flat.ids)[np.asarray(flat.mask)],
+                np.asarray(hier.ids)[np.asarray(hier.mask)])
+            np.testing.assert_array_equal(np.asarray(flat.count),
+                                          np.asarray(hier.count))
+
+    def test_super_cap_overflow_drops_highest_ids(self):
+        """When a super-tile exceeds super_cap, the lowest-index candidates
+        are kept — same policy as the per-tile cap."""
+        xy, cov, colors, opacity, H, W = make_scene(n=150, H=48, W=48, seed=1)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        hier = bin_gaussians(proj, H, W, cap=256, method="hier",
+                             super_size=16, super_cap=16)
+        flat = bin_gaussians(proj, H, W, cap=256, method="top_k")
+        m_h, m_f = np.asarray(hier.mask), np.asarray(flat.mask)
+        ids_h, ids_f = np.asarray(hier.ids), np.asarray(flat.ids)
+        for t in range(m_h.shape[0]):
+            kept, full = ids_h[t][m_h[t]], ids_f[t][m_f[t]]
+            # kept is a prefix of the full (index-ascending) list
+            np.testing.assert_array_equal(kept, full[:len(kept)])
+
+    def test_render_identical_through_hier(self):
+        xy, cov, colors, opacity, H, W = make_scene(n=100, seed=4)
+        img_flat, _, _ = tiled_render(xy, cov, colors, opacity, H, W,
+                                      method="top_k")
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        bins = bin_gaussians(proj, H, W, cap=256, method="hier", super_cap=100)
+        img_hier = jnp.clip(rasterize_tiled(proj.xys, proj.conics, colors,
+                                            opacity, bins.ids, bins.mask,
+                                            H, W), 0.0, 1.0)
+        np.testing.assert_array_equal(np.asarray(img_flat),
+                                      np.asarray(img_hier))
