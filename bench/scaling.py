@@ -1,16 +1,19 @@
-"""Scaling benchmark: pixels/s at 1 chip / N chips / N hosts.
+"""Scaling benchmark: pixels/s at 1 device vs an N-device mesh.
 
 Measures the BASELINE.json scoreboard dimensions:
-- per-chip train throughput (Mpix/s) at the Kodak operating point;
-- batched multi-image aggregate throughput with the batch axis sharded over
-  a device mesh (prints per-device efficiency vs the 1-device run);
-- tile-sharded single-image step (the context-parallel analog) over a mesh.
+- per-device train throughput (Mpix/s) at the Kodak operating point;
+- data-parallel aggregate throughput, both the legacy vmapped batch program
+  and the shard_map per-device-unbatched program (the DP efficiency fix) —
+  prints scaling efficiency vs the 1-device run;
+- tile-sharded single-image step through the real trainer.
 
 Runs on whatever devices are available (real chips, or CPU virtual devices
-with XLA_FLAGS=--xla_force_host_platform_device_count=8 for a wiring check).
-Prints one JSON line per configuration.
+with XLA_FLAGS=--xla_force_host_platform_device_count=8 for a wiring check;
+on CPU pass --small to keep runtimes sane). Prints one JSON line per
+configuration.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -21,27 +24,50 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def main():
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--small", action="store_true",
+                   help="tiny operating point (CPU virtual-mesh runs)")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the JAX_PLATFORMS env var is "
+                        "overridden by this machine's sitecustomize; only an "
+                        "in-process config update sticks)")
+    args = p.parse_args(argv)
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "..", ".jax_cache"))
     import jax.numpy as jnp
 
-    from gaussianimage_plus_tpu.models import GaussianConfig, init_state
-    from gaussianimage_plus_tpu.train import TrainConfig, init_train_state, train_chunk
+    from gaussianimage_plus_tpu.models import GaussianConfig
+    from gaussianimage_plus_tpu.train import TrainConfig
+    from gaussianimage_plus_tpu.train.trainer import init_train_state, train_chunk
     from gaussianimage_plus_tpu.parallel import (
-        batch_train_chunk, image_to_tile_rows, init_batch_train_state,
-        make_mesh, shard_batch, tile_sharded_train_step)
+        batch_train_chunk,
+        batch_train_chunk_dp,
+        init_batch_train_state,
+        make_mesh,
+        make_tile_sharded_render,
+        shard_batch,
+    )
 
     ndev = len(jax.devices())
-    H, W, N = 512, 768, 5000
+    if args.small:
+        H, W, N = 128, 192, 512
+        steps = args.steps or 10
+    else:
+        H, W, N = 512, 768, 5000
+        steps = args.steps or 50
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
     cfg = GaussianConfig(H=H, W=W, max_num_points=N)
     tcfg = TrainConfig(iterations=1000, lr=0.018)
-    steps = 50
 
     def sync(x):
         return np.asarray(jax.tree.leaves(x)[0])[0]
@@ -59,39 +85,45 @@ def main():
                       "mpix_s": round(base_mpix, 1)}))
 
     if ndev > 1:
-        # --- N devices, N images (data parallel) ---
         mesh = make_mesh((ndev,), ("data",))
         gts = jnp.tile(gt[None], (ndev, 1, 1, 1))
-        tss = init_batch_train_state(cfg, tcfg, N, ndev)
-        tss = shard_batch(tss, mesh)
-        gts = shard_batch(gts, mesh)
-        tss, _ = batch_train_chunk(tss, gts, cfg, tcfg, steps, True, False)
-        sync(tss.gaussians.params.xyz)
-        t0 = time.perf_counter()
-        tss, _ = batch_train_chunk(tss, gts, cfg, tcfg, steps, True, False)
-        sync(tss.gaussians.params.xyz)
-        dt = (time.perf_counter() - t0) / steps
-        agg = ndev * H * W / dt / 1e6
-        print(json.dumps({
-            "config": f"{ndev}dev_{ndev}img_dp", "ms_per_step": round(dt * 1e3, 2),
-            "aggregate_mpix_s": round(agg, 1),
-            "scaling_efficiency": round(agg / (base_mpix * ndev), 3)}))
 
-        # --- tile-sharded single image over 2 devices ---
-        mesh2 = make_mesh((1, 2), ("data", "tile"))
-        state = init_state(cfg, N, jax.random.PRNGKey(1))
-        import optax
-        step, tx = tile_sharded_train_step(mesh2, cfg, tcfg, axis="tile")
-        opt_state = tx.init(state.params)
-        gt_tiles = image_to_tile_rows(gt, cfg)
-        state, opt_state, loss = step(state, opt_state, gt_tiles)
-        sync(state.params.xyz)
+        def run_dp(label, chunk_fn):
+            tss = init_batch_train_state(cfg, tcfg, N, ndev)
+            tss = shard_batch(tss, mesh)
+            gts_s = shard_batch(gts, mesh)
+            tss, _ = chunk_fn(tss, gts_s)
+            sync(tss.gaussians.params.xyz)
+            t0 = time.perf_counter()
+            tss, _ = chunk_fn(tss, gts_s)
+            sync(tss.gaussians.params.xyz)
+            dt = (time.perf_counter() - t0) / steps
+            agg = ndev * H * W / dt / 1e6
+            print(json.dumps({
+                "config": label, "ms_per_step": round(dt * 1e3, 2),
+                "aggregate_mpix_s": round(agg, 1),
+                "scaling_efficiency": round(agg / (base_mpix * ndev), 3)}))
+
+        run_dp(f"{ndev}dev_dp_vmap",
+               lambda tss, g: batch_train_chunk(tss, g, cfg, tcfg, steps,
+                                                True, False))
+        run_dp(f"{ndev}dev_dp_shardmap",
+               lambda tss, g: batch_train_chunk_dp(tss, g, cfg, tcfg, steps,
+                                                   True, False, False, mesh))
+
+        # --- tile-sharded single image through the real trainer ---
+        mesh2 = make_mesh((ndev,), ("tile",))
+        render_fn = make_tile_sharded_render(mesh2, cfg, axis="tile")
+        ts2 = init_train_state(cfg, tcfg, N, 1)
+        ts2, _ = train_chunk(ts2, gt, cfg, tcfg, steps, True, False,
+                             render_fn=render_fn)
+        sync(ts2.gaussians.params.xyz)
         t0 = time.perf_counter()
-        for _ in range(20):
-            state, opt_state, loss = step(state, opt_state, gt_tiles)
-        sync(state.params.xyz)
-        dt = (time.perf_counter() - t0) / 20
-        print(json.dumps({"config": "2dev_tile_sharded",
+        ts2, _ = train_chunk(ts2, gt, cfg, tcfg, steps, True, False,
+                             render_fn=render_fn)
+        sync(ts2.gaussians.params.xyz)
+        dt = (time.perf_counter() - t0) / steps
+        print(json.dumps({"config": f"{ndev}dev_tile_sharded",
                           "ms_per_step": round(dt * 1e3, 2),
                           "mpix_s": round(H * W / dt / 1e6, 1)}))
 
