@@ -52,15 +52,21 @@ class QuantFitResult(NamedTuple):
 def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
                         qcfg: QuantConfig, num_points: int,
                         warmup_iter: int = 6000, seed: int = 3047,
-                        log_every: Optional[int] = None, logger=None) -> QuantFitResult:
-    """Full train_quantize recipe (train_quantize.py:118-237)."""
+                        log_every: Optional[int] = None, logger=None,
+                        init_state: Optional[GaussianState] = None) -> QuantFitResult:
+    """Full train_quantize recipe (train_quantize.py:118-237).
+
+    ``init_state``: warm-start the warmup phase from a pre-trained
+    representation (the reference loads the 50k repr checkpoint and still
+    runs the 6000-iter warmup on top with a fresh optimizer,
+    train_quantize.py:53-69,124-129)."""
     log = (logger.write if logger else print) if log_every else (lambda *_: None)
     gt = jnp.asarray(gt)
     chunk = tcfg.prune_iter
     assert warmup_iter % chunk == 0 and tcfg.iterations % chunk == 0
 
     # ---- phase 1: representation warmup (prune/grow active) ----
-    ts = init_train_state(cfg, tcfg, num_points, seed)
+    ts = init_train_state(cfg, tcfg, num_points, seed, gaussians=init_state)
     t0 = time.perf_counter()
     for ci in range(warmup_iter // chunk):
         it_end = (ci + 1) * chunk

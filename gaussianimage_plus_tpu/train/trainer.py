@@ -88,10 +88,16 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def init_train_state(cfg: GaussianConfig, tcfg: TrainConfig, num_points: int,
-                     seed: int = 3047) -> TrainState:
+                     seed: int = 3047, gaussians=None) -> TrainState:
+    """Fresh TrainState (fresh optimizer + schedule at step 0).
+
+    ``gaussians``: warm-start from an existing GaussianState instead of a
+    random init — the reference's checkpoint-resume semantics
+    (train_quantize.py:53-69 load + training_setup: the loaded attributes get
+    a brand-new Adam/StepLR)."""
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
-    gs = init_state(cfg, num_points, k_init)
+    gs = gaussians if gaussians is not None else init_state(cfg, num_points, k_init)
     tx = make_optimizer(tcfg)
     opt_state = tx.init(gs.params)
     return TrainState(

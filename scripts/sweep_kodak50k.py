@@ -33,9 +33,14 @@ def main(argv):
     # cap 96 measured bitwise-identical to 256 on full Kodak training
     # (round-1 cap sweep) and ~27% faster
     p.add_argument("--tile_cap", type=int, default=96)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (debug; the site config "
+                        "otherwise pins the TPU relay)")
     args = p.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

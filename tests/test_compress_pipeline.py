@@ -98,6 +98,23 @@ class TestQuantTraining:
         assert stats["bpp"] > 0
         assert np.isfinite(stats["rendering_fps"])
 
+    def test_warm_start_from_pretrained(self):
+        # the reference's QAT resume: load a trained repr, run warmup on top
+        # with a fresh optimizer (train_quantize.py:53-69,124-129)
+        state, gt, cfg = fitted_state()
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.02)
+        qcfg = QuantConfig()
+        res = fit_image_quantized(gt, cfg, tcfg, qcfg, num_points=40,
+                                  warmup_iter=100, seed=1, init_state=state)
+        cold = fit_image_quantized(gt, cfg, tcfg, qcfg, num_points=40,
+                                   warmup_iter=100, seed=1)
+        # warm start begins from the trained repr, so the quantized best
+        # should at least match the cold run (it has a 200-iter head start)
+        assert res.best_psnr >= cold.best_psnr - 0.5
+        stats = encode_decode_eval(res.state, res.bundle, gt, cfg, qcfg,
+                                   n_renders=3)
+        assert stats["psnr"] > 14.0
+
 
 class TestVQColorPath:
     def test_vq_roundtrip_and_bpp(self):
