@@ -276,6 +276,40 @@ def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBu
                                             "best": best}
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "qcfg", "model_lr",
+                                             "n_chunks", "chunk"))
+def quant_train_macro_chunk(state: GaussianState, model_opt_state,
+                            bundle: QuantizerBundle, gt: jax.Array,
+                            cfg: GaussianConfig, qcfg: QuantConfig,
+                            model_lr: float, n_chunks: int, chunk: int,
+                            best=None):
+    """``n_chunks`` quantized chunks fused into ONE jit dispatch.
+
+    The QAT phase has no prune/grow (the reference gates both on
+    iter < warmup_iter, train_quantize.py:159-173) and the best snapshot is
+    carried in-graph, so chunks scan freely. Exists because remote-dispatch
+    overhead per call (0.1-3.4 s through the relay) rivals the device time
+    of a 100-step chunk; one macro dispatch per few thousand steps makes the
+    QAT phase dispatch-count comparable to the repr phase's macro chunks.
+    Nested scans (outer n_chunks, inner chunk) keep each scan short enough
+    for the Mosaic/XLA compile path."""
+    if best is None:
+        best = (jnp.full((), -jnp.inf), state.params,
+                (bundle.xy, bundle.cov, bundle.color))
+
+    def body(carry, _):
+        state, mos, bundle, best = carry
+        state, mos, bundle, m = quant_train_chunk(
+            state, mos, bundle, gt, cfg, qcfg, model_lr, chunk, best=best)
+        return (state, mos, bundle, m["best"]), (m["loss"], m["psnr"])
+
+    (state, model_opt_state, bundle, best), (losses, psnrs) = jax.lax.scan(
+        body, (state, model_opt_state, bundle, best), None, length=n_chunks)
+    return state, model_opt_state, bundle, {"loss": losses.reshape(-1),
+                                            "psnr": psnrs.reshape(-1),
+                                            "best": best}
+
+
 # --------------------------------------------------------------------------
 # Codec: compress / decompress / bpp analysis
 # --------------------------------------------------------------------------

@@ -36,6 +36,7 @@ from .pipeline import (
     init_quantizers,
     make_quantizer_opts,
     quant_train_chunk,
+    quant_train_macro_chunk,
     render_quantized,
 )
 from .quantizers import hybrid_size
@@ -92,14 +93,21 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
     bundle = init_quantizers(state, cfg, qcfg)
 
     quant_iters = tcfg.iterations - warmup_iter
+    # dispatch granularity: fuse as many 100-step chunks per jit call as
+    # divide the phase evenly (<=50, mirroring train_macro_chunk) — remote
+    # dispatch overhead otherwise dominates the 440-dispatch QAT phase
+    total_chunks = quant_iters // chunk
+    n_per_macro = max((k for k in range(1, min(total_chunks, 50) + 1)
+                       if total_chunks % k == 0), default=1)
     best = None
-    for ci in range(quant_iters // chunk):
-        state, model_opt_state, bundle, m = quant_train_chunk(
-            state, model_opt_state, bundle, gt, cfg, qcfg, model_lr, chunk,
-            best=best)
+    for ci in range(total_chunks // n_per_macro):
+        state, model_opt_state, bundle, m = quant_train_macro_chunk(
+            state, model_opt_state, bundle, gt, cfg, qcfg, model_lr,
+            n_per_macro, chunk, best=best)
         best = m["best"]
-        it_end = warmup_iter + (ci + 1) * chunk
-        if log_every and it_end % log_every == 0:
+        it_end = warmup_iter + (ci + 1) * n_per_macro * chunk
+        if log_every and (it_end % log_every == 0
+                          or n_per_macro * chunk >= log_every):
             log(f"quant {it_end}: psnr {float(m['psnr'][-1]):.3f} "
                 f"best {float(best[0]):.3f}")
     import numpy as _np

@@ -35,9 +35,10 @@ def main(argv):
                         "images without one start the warmup from scratch")
     p.add_argument("--bitstream_dir", default="results/bitstreams")
     p.add_argument("--num_images", type=int, default=None)
-    # cap 96 measured bitwise-identical to 256 on full Kodak training
-    # (round-1 cap sweep; trained occupancy max ~32) and ~27% faster
-    p.add_argument("--tile_cap", type=int, default=96)
+    # cap 64 measured bitwise-identical to 256 on full Kodak training
+    # (round-1 cap sweep; trained-state occupancy max ~32, and the QAT phase
+    # starts from trained states) and ~30% faster than cap 96
+    p.add_argument("--tile_cap", type=int, default=64)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug; the site config "
                         "otherwise pins the TPU relay)")

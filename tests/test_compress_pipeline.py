@@ -98,6 +98,33 @@ class TestQuantTraining:
         assert stats["bpp"] > 0
         assert np.isfinite(stats["rendering_fps"])
 
+    def test_macro_chunk_matches_sequential(self):
+        # one fused dispatch must be step-for-step identical to successive
+        # quant_train_chunk calls (same best carry, same opt states)
+        from gaussianimage_plus_tpu.compress import init_quantizers
+        from gaussianimage_plus_tpu.compress.pipeline import (
+            quant_train_chunk, quant_train_macro_chunk)
+        from gaussianimage_plus_tpu.train.optim import make_adam
+
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig()
+        bundle = init_quantizers(state, cfg, qcfg)
+        tx = make_adam(0.01, 20000, 0.5)
+        mos = tx.init(state.params)
+
+        s1, m1, b1, best1 = state, mos, bundle, None
+        for _ in range(3):
+            s1, m1, b1, mm = quant_train_chunk(s1, m1, b1, gt, cfg, qcfg,
+                                               0.01, 20, best=best1)
+            best1 = mm["best"]
+        s2, m2, b2, mm2 = quant_train_macro_chunk(state, mos, bundle, gt, cfg,
+                                                  qcfg, 0.01, 3, 20)
+        np.testing.assert_array_equal(np.asarray(s1.params.xyz),
+                                      np.asarray(s2.params.xyz))
+        np.testing.assert_array_equal(np.asarray(b1.xy.scale),
+                                      np.asarray(b2.xy.scale))
+        assert float(best1[0]) == float(mm2["best"][0])
+
     def test_warm_start_from_pretrained(self):
         # the reference's QAT resume: load a trained repr, run warmup on top
         # with a fresh optimizer (train_quantize.py:53-69,124-129)
