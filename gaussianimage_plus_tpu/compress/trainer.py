@@ -25,6 +25,7 @@ from ..train.trainer import (
     init_train_state,
     restore_best,
     train_chunk,
+    train_macro_chunk,
 )
 from .pipeline import (
     Encoding,
@@ -69,17 +70,33 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
     # ---- phase 1: representation warmup (prune/grow active) ----
     ts = init_train_state(cfg, tcfg, num_points, seed, gaussians=init_state)
     t0 = time.perf_counter()
-    for ci in range(warmup_iter // chunk):
-        it_end = (ci + 1) * chunk
+    # dispatch granularity: one macro chunk per grow-period segment when the
+    # cadences line up (train_macro_chunk is step-for-step identical; prune
+    # fires at every chunk boundary inside it, grow only at segment ends —
+    # which are exactly the grow-cadence multiples)
+    if tcfg.grow_iter % chunk == 0:
+        bounds = sorted(set(range(0, warmup_iter, tcfg.grow_iter))
+                        | {warmup_iter})
+        segments = list(zip(bounds[:-1], bounds[1:]))
+    else:
+        segments = [(i * chunk, (i + 1) * chunk)
+                    for i in range(warmup_iter // chunk)]
+    # fill-to-max at the LAST grow that actually fires before warmup ends
+    # (warmup_iter - grow_iter only coincides with the grow cadence when
+    # warmup_iter is a multiple of grow_iter; derive it instead)
+    last_grow = (warmup_iter - 1) // tcfg.grow_iter * tcfg.grow_iter
+    for s0, s1 in segments:
+        it_end = s1
         do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
                    and it_end < warmup_iter)
-        # fill-to-max at the LAST grow that actually fires before warmup ends
-        # (warmup_iter - grow_iter only coincides with the grow cadence when
-        # warmup_iter is a multiple of grow_iter; derive it instead)
-        last_grow = (warmup_iter - 1) // tcfg.grow_iter * tcfg.grow_iter
         final_fill = do_grow and it_end == last_grow
-        ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune, do_grow, final_fill)
-        if log_every and it_end % log_every == 0:
+        if (s1 - s0) == chunk:
+            ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune,
+                                do_grow, final_fill)
+        else:
+            ts, m = train_macro_chunk(ts, gt, cfg, tcfg, (s1 - s0) // chunk,
+                                      chunk, tcfg.prune, do_grow, final_fill)
+        if log_every and (it_end % log_every == 0 or s1 - s0 >= log_every):
             log(f"warmup {it_end}: psnr {float(m['psnr'][-1]):.3f} "
                 f"best {float(ts.best_psnr):.3f} n {int(ts.gaussians.num_active)}")
 
