@@ -50,6 +50,9 @@ def parse_args(argv):
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="LPIPS-VGG .npz weight file; adds LPIPS to the eval "
                         "report (models/metrics.py:62-95)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (debug; the site config "
+                        "otherwise pins the TPU relay)")
     return p.parse_args(argv)
 
 
@@ -66,6 +69,8 @@ def image_list(args):
 def main(argv):
     args = parse_args(argv)
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))

@@ -42,12 +42,17 @@ def parse_args(argv):
                    help="serialize the full rANS bitstream per image "
                         "(<log_dir>/<image>.gipb), decode it back, and "
                         "report bpp_stream/stream_psnr")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (debug; the site config "
+                        "otherwise pins the TPU relay)")
     return p.parse_args(argv)
 
 
 def main(argv):
     args = parse_args(argv)
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
