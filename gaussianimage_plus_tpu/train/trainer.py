@@ -67,6 +67,9 @@ class TrainConfig:
     xyz_lr_scale: float = struct.field(pytree_node=False, default=1.0)
     cov_lr_scale: float = struct.field(pytree_node=False, default=1.0)
     color_lr_scale: float = struct.field(pytree_node=False, default=1.0)
+    # "adam" (reference default) or "adan" (the legacy-recipe optimizer the
+    # reference auto-selects for non-Covariance models, train.py:256-262)
+    opt_type: str = struct.field(pytree_node=False, default="adam")
 
 
 @struct.dataclass
@@ -84,6 +87,9 @@ class TrainState:
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    if tcfg.opt_type == "adan":
+        from .optim import adan, step_lr
+        return adan(step_lr(tcfg.lr, tcfg.lr_step_size, tcfg.lr_gamma))
     return make_adam(tcfg.lr, tcfg.lr_step_size, tcfg.lr_gamma)
 
 

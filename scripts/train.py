@@ -37,6 +37,7 @@ def parse_args(argv):
     p.add_argument("--color_norm", action="store_true")
     p.add_argument("--adaptive_add", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--prune", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--opt_type", type=str, default="adam", choices=["adam", "adan"])
     p.add_argument("--save_imgs", action="store_true")
     p.add_argument("--tile_cap", type=int, default=256)
     p.add_argument("--raster_backend", type=str, default="auto")
@@ -68,6 +69,14 @@ def image_list(args):
 
 def main(argv):
     args = parse_args(argv)
+    # the reference remaps the hyperparameter bundle for non-Covariance
+    # models unconditionally (train.py:256-262): Adan at lr 1e-3, no
+    # growth/prune
+    if args.model_name != "GaussianImage_Covariance":
+        args.lr = 0.001
+        args.opt_type = "adan"
+        args.adaptive_add = False
+        args.prune = False
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -106,7 +115,8 @@ def main(argv):
         tcfg = TrainConfig(
             iterations=args.iterations, lr=args.lr, prune_iter=args.prune_iter,
             grow_iter=args.grow_iter, adaptive_add=args.adaptive_add,
-            prune=args.prune, loss_type=args.loss_type)
+            prune=args.prune, loss_type=args.loss_type,
+            opt_type=args.opt_type)
         img_log = LogWriter(log_dir / image_path.stem)
         if args.model_path:
             from gaussianimage_plus_tpu.models import init_state
