@@ -42,6 +42,10 @@ def main(argv):
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug; the site config "
                         "otherwise pins the TPU relay)")
+    p.add_argument("--deadline_ts", type=float, default=None,
+                   help="unix time: don't START a new image after this "
+                        "(clean exit between images; killing a TPU client "
+                        "mid-flight wedges the relay)")
     args = p.parse_args(argv)
 
     import jax
@@ -76,6 +80,9 @@ def main(argv):
         if name in done:
             print(f"{name}: already done, skipping", flush=True)
             continue
+        if args.deadline_ts and time.time() > args.deadline_ts:
+            print(f"deadline reached, stopping before {name}", flush=True)
+            break
         gt = load_image(img_path)
         H, W = gt.shape[:2]
         cfg = GaussianConfig(H=H, W=W, max_num_points=args.max_num_points,
