@@ -118,7 +118,8 @@ def main(argv):
               f"decode_fps {stats['rendering_fps']:.0f} ({rec['wall']:.0f}s)",
               flush=True)
 
-    recs = [json.loads(l) for l in out_path.read_text().splitlines()]
+    recs = ([json.loads(l) for l in out_path.read_text().splitlines()]
+            if out_path.exists() else [])
     if recs:
         n = len(recs)
         for k in ("psnr", "ms_ssim", "bpp", "bpp_wc", "bpp_stream",
