@@ -64,6 +64,16 @@ def load_checkpoint(path, template_state):
 
     path = Path(path).absolute()
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+        try:
+            restored = ckptr.restore(path)
+        except ValueError:
+            # checkpoints written from another platform (e.g. TPU) carry
+            # sharding metadata the default restore can't satisfy here;
+            # restore every leaf as plain numpy instead (_rebuild re-casts)
+            meta = ckptr.metadata(path).item_metadata
+            tree = meta.tree if hasattr(meta, "tree") else meta
+            args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+            restored = ckptr.restore(path, restore_args=args)
     state = _rebuild(template_state, restored["state"])
     return state, restored.get("extra", {})
