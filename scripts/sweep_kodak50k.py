@@ -30,9 +30,11 @@ def main(argv):
     p.add_argument("--ckpt_dir", default="results/ckpt50k")
     p.add_argument("--checkpoint_every", type=int, default=10000)
     p.add_argument("--num_images", type=int, default=None)
-    # cap 96 measured bitwise-identical to 256 on full Kodak training
-    # (round-1 cap sweep) and ~27% faster
-    p.add_argument("--tile_cap", type=int, default=96)
+    # 256 = the reference's own per-tile cap. Round-2 lesson: 50k-converged
+    # states reach occupancy 81-240, so sub-256 caps clip and the optimizer
+    # exploits the clipping — the state then renders WORSE under reference
+    # (256-cap) semantics. Fwd+bwd cost is flat from K=144 to 256.
+    p.add_argument("--tile_cap", type=int, default=256)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug; the site config "
                         "otherwise pins the TPU relay)")
