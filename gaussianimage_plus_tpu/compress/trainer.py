@@ -70,13 +70,17 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
     # ---- phase 1: representation warmup (prune/grow active) ----
     ts = init_train_state(cfg, tcfg, num_points, seed, gaussians=init_state)
     t0 = time.perf_counter()
-    # dispatch granularity: one macro chunk per grow-period segment when the
-    # cadences line up (train_macro_chunk is step-for-step identical; prune
-    # fires at every chunk boundary inside it, grow only at segment ends —
-    # which are exactly the grow-cadence multiples)
+    # dispatch granularity: macro chunks bounded by grow-period boundaries
+    # (train_macro_chunk is step-for-step identical; prune fires at every
+    # chunk boundary inside it, grow only at grow-cadence multiples) AND by
+    # MAX_MACRO_STEPS — a single >60s device execution has been observed to
+    # take the TPU worker down through the relay (cap-256 5000-step macros
+    # crashed with "TPU worker crashed or restarted"; 2500-step ones run)
+    MAX_MACRO_STEPS = 2500
     if tcfg.grow_iter % chunk == 0:
-        bounds = sorted(set(range(0, warmup_iter, tcfg.grow_iter))
-                        | {warmup_iter})
+        bounds = set(range(0, warmup_iter, tcfg.grow_iter)) | {warmup_iter}
+        bounds |= set(range(0, warmup_iter, MAX_MACRO_STEPS))
+        bounds = sorted(b for b in bounds if b % chunk == 0)
         segments = list(zip(bounds[:-1], bounds[1:]))
     else:
         segments = [(i * chunk, (i + 1) * chunk)
@@ -114,7 +118,8 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
     # divide the phase evenly (<=50, mirroring train_macro_chunk) — remote
     # dispatch overhead otherwise dominates the 440-dispatch QAT phase
     total_chunks = quant_iters // chunk
-    n_per_macro = max((k for k in range(1, min(total_chunks, 50) + 1)
+    max_chunks = max(1, MAX_MACRO_STEPS // chunk)
+    n_per_macro = max((k for k in range(1, min(total_chunks, max_chunks) + 1)
                        if total_chunks % k == 0), default=1)
     best = None
     for ci in range(total_chunks // n_per_macro):

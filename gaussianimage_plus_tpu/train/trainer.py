@@ -312,9 +312,16 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
 
     # dispatch granularity: one jit call per grow period when the cadences
     # line up (remote dispatch overhead per call rivals the device time of a
-    # 100-step chunk; train_macro_chunk is step-for-step identical)
+    # 100-step chunk; train_macro_chunk is step-for-step identical) — but no
+    # single dispatch above MAX_MACRO_STEPS: one >60s device execution has
+    # been observed to take the TPU worker down through the relay (cap-256
+    # 5000-step macros crash with "TPU worker crashed or restarted")
+    MAX_MACRO_STEPS = 2500
     seg = tcfg.grow_iter if (tcfg.grow_iter % chunk == 0
                              and tcfg.iterations % tcfg.grow_iter == 0) else chunk
+    sub = seg
+    while sub > MAX_MACRO_STEPS:
+        sub = sub // 2 if (sub // 2) % chunk == 0 else chunk
 
     ckpt_path = None
     start_iter = 0
@@ -339,9 +346,19 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
             ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune,
                                 do_grow, final_fill, render_fn)
         else:
-            ts, m = train_macro_chunk(ts, gt, cfg, tcfg, seg // chunk, chunk,
-                                      tcfg.prune, do_grow, final_fill,
-                                      render_fn)
+            # split the grow period into <=MAX_MACRO_STEPS dispatches; grow
+            # fires only at the period's end, exactly as one big macro would
+            ms = []
+            for p0 in range(it0, it_end, sub):
+                last = p0 + sub >= it_end
+                ts, m = train_macro_chunk(
+                    ts, gt, cfg, tcfg, sub // chunk, chunk, tcfg.prune,
+                    do_grow and last, final_fill and last, render_fn)
+                ms.append(m)
+            m = {"loss": jnp.concatenate([x["loss"] for x in ms]),
+                 "psnr": jnp.concatenate([x["psnr"] for x in ms]),
+                 "n_pruned": sum(x["n_pruned"] for x in ms),
+                 "n_added": ms[-1]["n_added"]}
         if log_every and (it_end % log_every == 0 or seg >= log_every):
             lp = float(m["psnr"][-1])
             msg = (f"iter {it_end}: psnr {lp:.4f} best {float(ts.best_psnr):.4f} "
