@@ -76,7 +76,7 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
     # MAX_MACRO_STEPS — a single >60s device execution has been observed to
     # take the TPU worker down through the relay (cap-256 5000-step macros
     # crashed with "TPU worker crashed or restarted"; 2500-step ones run)
-    MAX_MACRO_STEPS = 2500
+    MAX_MACRO_STEPS = max(chunk, tcfg.max_dispatch_steps // chunk * chunk)
     if tcfg.grow_iter % chunk == 0:
         bounds = set(range(0, warmup_iter, tcfg.grow_iter)) | {warmup_iter}
         bounds |= set(range(0, warmup_iter, MAX_MACRO_STEPS))

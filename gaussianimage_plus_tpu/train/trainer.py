@@ -70,6 +70,11 @@ class TrainConfig:
     # "adam" (reference default) or "adan" (the legacy-recipe optimizer the
     # reference auto-selects for non-Covariance models, train.py:256-262)
     opt_type: str = struct.field(pytree_node=False, default="adam")
+    # hard bound on steps fused into ONE device execution: a single >60s
+    # execution has been observed to take the TPU worker down through the
+    # relay. 2500 is safe at Kodak step times (~13 ms); lower it for big
+    # images (2K at ~100 ms/step needs <=500)
+    max_dispatch_steps: int = struct.field(pytree_node=False, default=2500)
 
 
 @struct.dataclass
@@ -313,10 +318,10 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
     # dispatch granularity: one jit call per grow period when the cadences
     # line up (remote dispatch overhead per call rivals the device time of a
     # 100-step chunk; train_macro_chunk is step-for-step identical) — but no
-    # single dispatch above MAX_MACRO_STEPS: one >60s device execution has
-    # been observed to take the TPU worker down through the relay (cap-256
-    # 5000-step macros crash with "TPU worker crashed or restarted")
-    MAX_MACRO_STEPS = 2500
+    # single dispatch above max_dispatch_steps: one >60s device execution
+    # has been observed to take the TPU worker down through the relay
+    # (cap-256 5000-step macros crash with "TPU worker crashed or restarted")
+    MAX_MACRO_STEPS = max(chunk, tcfg.max_dispatch_steps // chunk * chunk)
     seg = tcfg.grow_iter if (tcfg.grow_iter % chunk == 0
                              and tcfg.iterations % tcfg.grow_iter == 0) else chunk
     sub = seg
