@@ -21,6 +21,20 @@ import numpy as np
 
 
 def main():
+    # Watchdog: the remote-relay TPU session can wedge (compile-service
+    # stalls have been observed); a hung bench should report the failure
+    # instead of stalling the caller forever.
+    import signal
+
+    def _timeout(_sig, _frm):
+        print(json.dumps({
+            "metric": "decode_fps", "value": 0, "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": "bench timed out (TPU relay unresponsive)"}))
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1800")))
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
