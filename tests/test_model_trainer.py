@@ -207,6 +207,27 @@ class TestMacroChunk:
         assert float(ts_a.best_psnr) == pytest.approx(float(ts_b.best_psnr), abs=1e-5)
 
 
+class TestDispatchBound:
+    def test_max_dispatch_steps_is_transparent(self):
+        """fit_image with a dispatch bound that splits each grow period must
+        produce exactly the same result as the unbounded schedule (a single
+        >60s device execution kills the TPU worker through the relay, so
+        long fits are split; the split must be semantics-free)."""
+        from gaussianimage_plus_tpu.train.trainer import fit_image
+
+        cfg = small_cfg()
+        gt = jnp.asarray(np.random.default_rng(5).uniform(
+            0, 1, (cfg.H, cfg.W, 3)).astype(np.float32))
+        big = TrainConfig(iterations=400, grow_iter=200, prune_iter=50,
+                          lr=0.05, max_dispatch_steps=2500)
+        small = big.replace(max_dispatch_steps=100)
+        res_a = fit_image(gt, cfg, big, num_points=16, seed=7)
+        res_b = fit_image(gt, cfg, small, num_points=16, seed=7)
+        np.testing.assert_array_equal(np.asarray(res_a.state.params.xyz),
+                                      np.asarray(res_b.state.params.xyz))
+        assert res_a.best_psnr == res_b.best_psnr
+
+
 class TestFitResume:
     def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
         """A fit stopped mid-way and resumed from its checkpoint must land on
