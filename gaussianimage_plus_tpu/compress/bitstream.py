@@ -42,6 +42,7 @@ from .entropy import (
     compress_gaussian,
     decode_rans,
     decompress_gaussian,
+    gaussian_counts,
 )
 from .pipeline import Encoding, QuantConfig, QuantizerBundle
 from .quantizers import (
@@ -51,7 +52,12 @@ from .quantizers import (
 )
 
 MAGIC = b"GIPB"
-VERSION = 1
+# v2: the global-Gaussian (tag-1) stream ships its u32 rANS counts table
+# instead of rebuilding it from (mean, std) at decode — math.erf is libm-
+# dependent, and a 1-count difference desynchronizes the whole stream on a
+# platform with a differently-rounded erf. v1 streams remain decodable (the
+# erf rebuild is bit-faithful on the encoding platform).
+VERSION = 2
 _XY_MODES = {"lsq": 0, "fp16": 1}
 _COLOR_MODES = {"lsq": 0, "vq": 1}
 _DTYPE_TAGS = {0: np.uint8, 1: np.uint16, 2: np.uint32,
@@ -72,13 +78,21 @@ def _pack_categorical(values: np.ndarray) -> bytes:
 
 
 def _pack_gaussian(values: np.ndarray) -> bytes:
-    """rANS stream under the global-Gaussian model: the only side info is
-    (mean, std, vmin, vmax) — 16 bytes instead of a histogram table
-    (compress_matrix_flatten_gaussian_global, utils.py:94-110)."""
+    """rANS stream under the global-Gaussian model
+    (compress_matrix_flatten_gaussian_global, utils.py:94-110). The u32
+    counts table over [vmin, vmax] IS shipped (v2): rebuilding it from
+    (mean, std) at decode depends on the decoder's libm erf rounding, and a
+    single off-by-one count corrupts everything after it."""
     flat = np.asarray(values).astype(np.int64).reshape(-1)
     words, mean, std, vmin, vmax = compress_gaussian(flat)
+    counts = gaussian_counts(mean, std, vmin, vmax)
+    # u16 is exact: counts are a normalized pmf scaled by 2^16 with floor,
+    # so every entry is < 65536 whenever the support has >1 symbol (always:
+    # compress_gaussian widens vmin==vmax)
+    assert int(counts.max()) <= 0xFFFF
     return b"".join([
-        _struct.pack("<IffiiI", flat.size, mean, std, vmin, vmax, words.size),
+        _struct.pack("<IiiI", flat.size, vmin, vmax, words.size),
+        counts.astype(np.uint16).tobytes(),
         words.tobytes()])
 
 
@@ -88,7 +102,7 @@ def _pack_stream(values: np.ndarray) -> bytes:
     return (b"\x00" + cat) if len(cat) <= len(gau) else (b"\x01" + gau)
 
 
-def _unpack_stream(buf: bytes, off: int) -> Tuple[np.ndarray, int]:
+def _unpack_stream(buf: bytes, off: int, version: int = VERSION) -> Tuple[np.ndarray, int]:
     tag = buf[off]
     off += 1
     if tag == 0:
@@ -105,12 +119,21 @@ def _unpack_stream(buf: bytes, off: int) -> Tuple[np.ndarray, int]:
         off += n_words * 2
         idx = decode_rans(words, counts, n_sym)
         return unique.astype(np.int64)[idx], off
-    n_sym, mean, std, vmin, vmax, n_words = _struct.unpack_from(
-        "<IffiiI", buf, off)
-    off += _struct.calcsize("<IffiiI")
+    if version == 1:
+        n_sym, mean, std, vmin, vmax, n_words = _struct.unpack_from(
+            "<IffiiI", buf, off)
+        off += _struct.calcsize("<IffiiI")
+        words = np.frombuffer(buf, np.uint16, n_words, off).copy()
+        off += n_words * 2
+        return decompress_gaussian(words, mean, std, vmin, vmax, n_sym), off
+    n_sym, vmin, vmax, n_words = _struct.unpack_from("<IiiI", buf, off)
+    off += _struct.calcsize("<IiiI")
+    support = vmax - vmin + 1
+    counts = np.frombuffer(buf, np.uint16, support, off).astype(np.uint32)
+    off += support * 2
     words = np.frombuffer(buf, np.uint16, n_words, off).copy()
     off += n_words * 2
-    return decompress_gaussian(words, mean, std, vmin, vmax, n_sym), off
+    return decode_rans(words, counts, n_sym).astype(np.int64) + vmin, off
 
 
 def _f32s(*arrays) -> bytes:
@@ -162,7 +185,8 @@ def serialize_bitstream(bundle: QuantizerBundle, enc: Encoding,
     out = [MAGIC, _struct.pack(
         "<BBBBBBBxIIII", VERSION, 0, _XY_MODES[qcfg.xy_quant],
         _COLOR_MODES[qcfg.color_quant], qcfg.xy_bit, qcfg.cov_bit,
-        qcfg.color_bit, cfg.H, cfg.W, n, qcfg.decode_cap)]
+        qcfg.color_bit, cfg.H, cfg.W, n,
+        qcfg.decode_cap if qcfg.decode_cap > 0 else cfg.tile_cap)]
 
     # grids
     if qcfg.xy_quant != "fp16":
@@ -195,7 +219,7 @@ def deserialize_bitstream(data: bytes) -> DecodedBitstream:
         raise ValueError("not a GIPB bitstream")
     (version, param, xy_mode, color_mode, xy_bit, cov_bit, color_bit,
      H, W, n, decode_cap) = _struct.unpack_from("<BBBBBBBxIIII", data, 4)
-    if version != VERSION:
+    if version not in (1, VERSION):
         raise ValueError(f"unsupported bitstream version {version}")
     off = 4 + _struct.calcsize("<BBBBBBBxIIII")
 
@@ -240,9 +264,9 @@ def deserialize_bitstream(data: bytes) -> DecodedBitstream:
     else:
         flat, off = _unpack_bits(data, off, n * 2, xy_bit)
         xy_codes = flat.astype(np.float32).reshape(n, 2)
-    cov_flat, off = _unpack_stream(data, off)
+    cov_flat, off = _unpack_stream(data, off, version)
     cov_codes = cov_flat.astype(np.float32).reshape(n, 3)
-    col_flat, off = _unpack_stream(data, off)
+    col_flat, off = _unpack_stream(data, off, version)
     color_codes = col_flat.reshape(n, n_color_cols)
     color_codes = (color_codes.astype(np.int32) if color_quant == "vq"
                    else color_codes.astype(np.float32))
@@ -289,7 +313,7 @@ def decode_bitstream(data: bytes, cfg=None):
     M = dec.enc.active.shape[0]
     if cfg is None:
         cfg = GaussianConfig(H=dec.H, W=dec.W, max_num_points=M,
-                             tile_cap=min(dec.qcfg.decode_cap, 256))
+                             tile_cap=dec.qcfg.decode_cap or 256)
     else:
         cfg = dataclasses.replace(cfg, H=dec.H, W=dec.W, max_num_points=M)
     img = decompress_wo_ec(dec.bundle, dec.enc, dec.bound, cfg, dec.qcfg)

@@ -63,11 +63,14 @@ class QuantConfig:
     quant_lr: float = struct.field(pytree_node=False, default=1e-3)
     quant_lr_step: int = struct.field(pytree_node=False, default=10000)
     quant_lr_gamma: float = struct.field(pytree_node=False, default=0.5)
-    # per-tile capacity used by the decode render. Trained Kodak states peak
-    # at ~32 members/tile, so 64 is pixel-exact vs the 256-cap path while
-    # rendering ~5x faster (0.68 ms -> 1479 FPS on one v5e core); set to the
-    # training cap for strict worst-case parity.
-    decode_cap: int = struct.field(pytree_node=False, default=64)
+    # per-tile capacity used by the decode render. 0 (default) = decode at
+    # the training cap — anything lower CLIPS: 50k-converged Kodak states
+    # reach 81-240 members/tile (the round-1 "~32 peak" held only for short
+    # fits), and a decode_cap below occupancy silently drops contributors
+    # (kodim01 lost 0.8 dB decoding at 64 what was trained at 256). Set
+    # explicitly only when the state's occupancy is KNOWN to fit (e.g. the
+    # bin-once prepare_decode path trims to measured occupancy instead).
+    decode_cap: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -377,7 +380,8 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
         return render_fast(dummy, cfg, cov_override=cov_elements,
                            means_override=means, colors_override=colors)
     import dataclasses
-    dcfg = dataclasses.replace(cfg, tile_cap=min(qcfg.decode_cap, cfg.tile_cap))
+    dcap = qcfg.decode_cap if qcfg.decode_cap > 0 else cfg.tile_cap
+    dcfg = dataclasses.replace(cfg, tile_cap=min(dcap, cfg.tile_cap))
     return render(dummy, dcfg, cov_override=cov_elements, means_override=means,
                   colors_override=colors)
 
@@ -427,7 +431,8 @@ def prepare_decode(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
             active=enc.active, bound=bound, num_active=enc.num_active)
         return prepare_render(dummy, cfg, cov_override=cov_elements,
                               means_override=means, colors_override=colors,
-                              cap=min(qcfg.decode_cap, cfg.tile_cap))
+                              cap=min(qcfg.decode_cap if qcfg.decode_cap > 0
+                                      else cfg.tile_cap, cfg.tile_cap))
 
     prep = _prep(bundle, enc, bound)
     if trim:

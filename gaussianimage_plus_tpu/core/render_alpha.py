@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 # f32-accurate matmuls (MXU default is bf16; see kernels/raster_pallas.py)
-MM_PRECISION = jax.lax.Precision.HIGHEST
+from .precision import MM_PRECISION  # single policy home
 
 from .binning import TileBins, bin_gaussians
 from .gaussian2d import ALPHA_THRESHOLD, BLOCK_H, BLOCK_W, Projected, tile_bounds_for

@@ -60,7 +60,7 @@ from .gaussian2d import ALPHA_THRESHOLD, BLOCK_H, BLOCK_W, tile_bounds_for
 # f32-accurate matmuls: the MXU default rounds operands to bf16, and the
 # sigma>=0 gate on the catastrophically-cancelling expanded quadratic then
 # drops near-center contributions at random (see kernels/raster_pallas.py).
-MM_PRECISION = jax.lax.Precision.HIGHEST
+from .precision import MM_PRECISION  # single policy home
 
 
 def _tile_geometry(H: int, W: int, block_h: int, block_w: int):

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 # f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
-MM_PRECISION = jax.lax.Precision.HIGHEST
+from .precision import MM_PRECISION  # single policy home
 
 C0 = 0.28209479177387814
 C1 = 0.4886025119029199

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 # f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
-MM_PRECISION = jax.lax.Precision.HIGHEST
+from ..core.precision import MM_PRECISION  # single policy home
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

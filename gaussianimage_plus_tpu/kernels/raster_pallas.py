@@ -53,7 +53,7 @@ COLS = 16
 # the exact f32 render at the Kodak operating point, i.e. ~23 dB of pure
 # precision noise). HIGHEST restores f32 accuracy (~1e-7 rel, measured) and
 # these small matmuls are nowhere near the kernel's bottleneck.
-MM_PRECISION = jax.lax.Precision.HIGHEST
+from ..core.precision import MM_PRECISION  # single policy home
 # K-chunk width per grid step; must be a multiple of 128 (Mosaic lane-dim
 # block constraint).
 KC = 128

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 # f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
-MM_PRECISION = jax.lax.Precision.HIGHEST
+from ..core.precision import MM_PRECISION  # single policy home
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -137,6 +137,14 @@ def fit_batch(images: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
     tss = init_batch_train_state(cfg, tcfg, num_points, B, seed)
     images = jnp.asarray(images)
     use_dp = mesh is not None and B % mesh.shape[axis] == 0
+    if mesh is not None and not use_dp:
+        import warnings
+
+        warnings.warn(
+            f"fit_batch: B={B} is not divisible by mesh axis "
+            f"'{axis}'={mesh.shape[axis]}; falling back to the vmapped "
+            f"chunk (~5x per-image overhead). Pad the batch to a multiple "
+            f"of the mesh for the shard_map fast path.", stacklevel=2)
     if mesh is not None:
         tss = shard_batch(tss, mesh, axis)
         images = shard_batch(images, mesh, axis)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 # f32-accurate matmuls (MXU default rounds to bf16; see kernels/raster_pallas.py)
-MM_PRECISION = jax.lax.Precision.HIGHEST
+from ..core.precision import MM_PRECISION  # single policy home
 
 MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 

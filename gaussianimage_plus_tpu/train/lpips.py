@@ -66,7 +66,10 @@ def random_params(key: jax.Array, scale: float = 0.1) -> LPIPSParams:
     return LPIPSParams(tuple(conv_w), tuple(conv_b), tuple(lin_w))
 
 
+@functools.lru_cache(maxsize=2)
 def params_from_npz(path: str) -> LPIPSParams:
+    """Load (and cache — ~55 MB of VGG weights; eval loops call this per
+    image) an .npz weight export."""
     import numpy as np
 
     z = np.load(path)

@@ -306,8 +306,9 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
     - ``checkpoint_dir``: save the full TrainState every ``checkpoint_every``
       iterations (orbax; exact resume — the PRNG key rides in the state).
     - ``resume``: continue from the checkpoint if one exists.
-    - ``stop_after_iter``: checkpoint and return early at this iteration
-      (time-budgeted runs; the returned FitResult is the best-so-far).
+    - ``stop_after_iter``: checkpoint and return early at the first dispatch
+      boundary at or after this iteration (overshoot < max_dispatch_steps;
+      time-budgeted runs — the returned FitResult is the best-so-far).
     """
     ts = init_train_state(cfg, tcfg, num_points, seed)
     gt = jnp.asarray(gt)
@@ -341,40 +342,47 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
                 (logger.write if logger else print)(
                     f"resumed at iter {start_iter}")
 
+    # explicit dispatch schedule: grow periods split into <=MAX_MACRO_STEPS
+    # sub-segments (grow fires only at the period's end, exactly as one big
+    # macro would — bitwise-identical, see TestDispatchBound); stop/resume/
+    # checkpoint all operate at sub-segment granularity
+    sched = []
+    for it0 in range(0, tcfg.iterations, seg):
+        seg_end = it0 + seg
+        for p0 in range(it0, seg_end, sub):
+            sched.append((p0, min(p0 + sub, seg_end), seg_end))
+
     t0 = time.perf_counter()
-    for it0 in range(start_iter, tcfg.iterations, seg):
-        it_end = it0 + seg
-        do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
-                   and it_end < tcfg.iterations)
-        final_fill = it_end == tcfg.iterations - tcfg.grow_iter
-        if seg == chunk:
+    for p0, p1, seg_end in sched:
+        if p1 <= start_iter:
+            continue
+        assert p0 >= start_iter, (
+            f"resume point {start_iter} is not on the dispatch schedule")
+        do_grow = (tcfg.adaptive_add and seg_end % tcfg.grow_iter == 0
+                   and seg_end < tcfg.iterations)
+        final_fill = seg_end == tcfg.iterations - tcfg.grow_iter
+        last = p1 == seg_end
+        n_chunks = (p1 - p0) // chunk
+        if n_chunks == 1:
             ts, m = train_chunk(ts, gt, cfg, tcfg, chunk, tcfg.prune,
-                                do_grow, final_fill, render_fn)
+                                do_grow and last, final_fill and last,
+                                render_fn)
         else:
-            # split the grow period into <=MAX_MACRO_STEPS dispatches; grow
-            # fires only at the period's end, exactly as one big macro would
-            ms = []
-            for p0 in range(it0, it_end, sub):
-                last = p0 + sub >= it_end
-                ts, m = train_macro_chunk(
-                    ts, gt, cfg, tcfg, sub // chunk, chunk, tcfg.prune,
-                    do_grow and last, final_fill and last, render_fn)
-                ms.append(m)
-            m = {"loss": jnp.concatenate([x["loss"] for x in ms]),
-                 "psnr": jnp.concatenate([x["psnr"] for x in ms]),
-                 "n_pruned": sum(x["n_pruned"] for x in ms),
-                 "n_added": ms[-1]["n_added"]}
-        if log_every and (it_end % log_every == 0 or seg >= log_every):
+            ts, m = train_macro_chunk(ts, gt, cfg, tcfg, n_chunks, chunk,
+                                      tcfg.prune, do_grow and last,
+                                      final_fill and last, render_fn)
+        if log_every and last and (seg_end % log_every == 0
+                                   or seg >= log_every):
             lp = float(m["psnr"][-1])
-            msg = (f"iter {it_end}: psnr {lp:.4f} best {float(ts.best_psnr):.4f} "
+            msg = (f"iter {seg_end}: psnr {lp:.4f} best {float(ts.best_psnr):.4f} "
                    f"n {int(ts.gaussians.num_active)}")
             (logger.write if logger else print)(msg)
         history["loss"].append(m["loss"])
         history["psnr"].append(m["psnr"])
-        stopping = stop_after_iter is not None and it_end >= stop_after_iter
-        if ckpt_path and (it_end % checkpoint_every == 0 or stopping) \
-                and it_end < tcfg.iterations:
-            save_checkpoint(ckpt_path, ts, extra={"next_iter": it_end})
+        stopping = stop_after_iter is not None and p1 >= stop_after_iter
+        if ckpt_path and (p1 % checkpoint_every == 0 or stopping) \
+                and p1 < tcfg.iterations:
+            save_checkpoint(ckpt_path, ts, extra={"next_iter": p1})
         if stopping:
             break
     jax.block_until_ready(ts.gaussians.params.xyz)
