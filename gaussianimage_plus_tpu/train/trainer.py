@@ -75,6 +75,13 @@ class TrainConfig:
     # relay. 2500 is safe at Kodak step times (~13 ms); lower it for big
     # images (2K at ~100 ms/step needs <=500)
     max_dispatch_steps: int = struct.field(pytree_node=False, default=2500)
+    # L2 penalty on per-Gaussian color magnitude (quality lever, default off
+    # = reference parity). Converged accumulation-blended fits grow colors
+    # with a heavy tail ([-10.7, 29.0] on kodim01 at 50k) which is what the
+    # 6-bit color quantizer chokes on (-12 dB at data init; see
+    # EXPERIMENTS.md "QAT drop attribution") — a small color_reg tightens
+    # the distribution the codec has to carry.
+    color_reg: float = struct.field(pytree_node=False, default=0.0)
 
 
 @struct.dataclass
@@ -150,7 +157,13 @@ def train_step(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
 
     def objective(params: GaussianParams):
         img = _render(gs.replace(params=params), cfg)
-        return loss_fn(img, gt, tcfg.loss_type, tcfg.lambda_value), img
+        loss = loss_fn(img, gt, tcfg.loss_type, tcfg.lambda_value)
+        if tcfg.color_reg:
+            m = gs.active[:, None]
+            loss = loss + tcfg.color_reg * (
+                jnp.sum(jnp.where(m, params.features, 0.0) ** 2)
+                / jnp.maximum(jnp.sum(gs.active), 1))
+        return loss, img
 
     (loss, img), grads = jax.value_and_grad(objective, has_aux=True)(gs.params)
     updates, opt_state = tx.update(grads, ts.opt_state, gs.params)

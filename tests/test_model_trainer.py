@@ -249,3 +249,35 @@ class TestFitResume:
         np.testing.assert_allclose(np.asarray(res_resumed.state.params.xyz),
                                    np.asarray(res_full.state.params.xyz),
                                    atol=1e-5)
+
+
+class TestColorReg:
+    def test_zero_reg_is_reference_parity(self):
+        """color_reg=0 must be bit-identical to the unregularized step."""
+        cfg = small_cfg()
+        gt = jnp.asarray(np.random.default_rng(9).uniform(
+            0, 1, (cfg.H, cfg.W, 3)).astype(np.float32))
+        a = fit_via(cfg, gt, color_reg=0.0)
+        b = fit_via(cfg, gt)  # field default
+        np.testing.assert_array_equal(a, b)
+
+    def test_reg_shrinks_color_norm(self):
+        cfg = small_cfg()
+        gt = jnp.asarray(np.random.default_rng(9).uniform(
+            0, 1, (cfg.H, cfg.W, 3)).astype(np.float32))
+        base = fit_via(cfg, gt, ret="colors")
+        reg = fit_via(cfg, gt, color_reg=1e-2, ret="colors")
+        assert float(np.square(reg).mean()) < float(np.square(base).mean())
+
+
+def fit_via(cfg, gt, ret="xyz", **tkw):
+    from gaussianimage_plus_tpu.train.trainer import fit_image
+    from gaussianimage_plus_tpu.models.gaussian_image import colors_of
+
+    tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.05,
+                       **tkw)
+    res = fit_image(gt, cfg, tcfg, num_points=16, seed=3)
+    if ret == "colors":
+        act = np.asarray(res.state.active)
+        return np.asarray(colors_of(res.state.params, cfg))[act]
+    return np.asarray(res.state.params.xyz)
