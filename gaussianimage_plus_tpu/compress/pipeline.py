@@ -71,6 +71,13 @@ class QuantConfig:
     # explicitly only when the state's occupancy is KNOWN to fit (e.g. the
     # bin-once prepare_decode path trims to measured occupancy instead).
     decode_cap: int = struct.field(pytree_node=False, default=0)
+    # LSQ grid init from the [100-p, p] percentiles instead of min/max
+    # (100.0 = reference parity, _init_data gaussianimage_covariance.py:148).
+    # Converged color distributions are heavy-tailed; clipping the grid to
+    # p=99 lifts the 6-bit color data-init from 14.6 to 24.5 dB on kodim01
+    # (EXPERIMENTS.md "QAT drop attribution") and QAT's learned scale starts
+    # closer to where it converges anyway.
+    init_percentile: float = struct.field(pytree_node=False, default=100.0)
 
 
 @struct.dataclass
@@ -93,16 +100,24 @@ class QuantizerBundle:
     color_vq: Any = None
 
 
-def _masked_min_max(x: jax.Array, active: jax.Array):
-    big = jnp.finfo(x.dtype).max
+def _masked_min_max(x: jax.Array, active: jax.Array, percentile: float = 100.0):
     m = active[:, None]
-    return (jnp.min(jnp.where(m, x, big), axis=0),
-            jnp.max(jnp.where(m, x, -big), axis=0))
+    if percentile >= 100.0:
+        big = jnp.finfo(x.dtype).max
+        return (jnp.min(jnp.where(m, x, big), axis=0),
+                jnp.max(jnp.where(m, x, -big), axis=0))
+    # percentiles over active rows only: push inactive rows to the median so
+    # they don't drag the tails (they are excluded from the mass that counts)
+    med = jnp.nanmedian(jnp.where(m, x, jnp.nan), axis=0)
+    xa = jnp.where(m, x, med)
+    return (jnp.percentile(xa, 100.0 - percentile, axis=0),
+            jnp.percentile(xa, percentile, axis=0))
 
 
-def _uniform_init_masked(x, active, bits, signed=False) -> UniformQuantParams:
+def _uniform_init_masked(x, active, bits, signed=False,
+                         percentile: float = 100.0) -> UniformQuantParams:
     qmin, qmax = uniform_qrange(bits, signed)
-    t_min, t_max = _masked_min_max(x, active)
+    t_min, t_max = _masked_min_max(x, active, percentile)
     scale = (t_max - t_min) / (qmax - qmin)
     scale = jnp.where(scale == 0, 1e-8, scale)
     return UniformQuantParams(scale=scale, beta=t_min - qmin * scale)
@@ -148,11 +163,13 @@ def init_quantizers(state: GaussianState, cfg: GaussianConfig,
                     qcfg: QuantConfig) -> QuantizerBundle:
     """_init_data (gaussianimage_covariance.py:148-153) on the current state."""
     active = state.active
+    pct = qcfg.init_percentile
     xy_p = _uniform_init_masked(state.params.xyz, active, qcfg.xy_bit)
     cov_eff = effective_cov2d(state.params, state.bound, cfg)
     cov_p = HybridQuantParams(
-        cov=_uniform_init_masked(cov_eff[:, 1:2], active, qcfg.cov_bit))
-    col_p = _uniform_init_masked(colors_of(state.params, cfg), active, qcfg.color_bit)
+        cov=_uniform_init_masked(cov_eff[:, 1:2], active, qcfg.cov_bit, percentile=pct))
+    col_p = _uniform_init_masked(colors_of(state.params, cfg), active,
+                                 qcfg.color_bit, percentile=pct)
     color_vq = None
     if qcfg.color_quant == "vq":
         # VectorQuantizer(codebook_dim=3, codebook_size=8, num_quantizers=2,

@@ -183,3 +183,28 @@ class TestPreparedDecode:
         # trimmed capacity stays sublane-aligned and sufficient
         assert prep.raw.shape[1] % 8 == 0
         assert prep.raw.shape[1] >= int(jnp.max(prep.counts))
+
+
+class TestPercentileInit:
+    def test_default_is_reference_parity(self):
+        state, gt, cfg = fitted_state()
+        a = init_quantizers(state, cfg, QuantConfig())
+        b = init_quantizers(state, cfg, QuantConfig(init_percentile=100.0))
+        np.testing.assert_array_equal(np.asarray(a.color.scale),
+                                      np.asarray(b.color.scale))
+
+    def test_clipped_grid_is_tighter_and_better_on_tails(self):
+        # heavy-tailed colors: clipping the grid shrinks the step and the
+        # quantized render of the bulk improves
+        state, gt, cfg = fitted_state()
+        feats = state.params.features.at[0].set(
+            jnp.full((3,), 40.0))  # one wild outlier
+        state = state.replace(params=state.params.replace(features=feats))
+        full = init_quantizers(state, cfg, QuantConfig())
+        clip = init_quantizers(state, cfg, QuantConfig(init_percentile=99.0))
+        assert float(jnp.max(clip.color.scale)) < float(jnp.max(full.color.scale))
+        qf = QuantConfig()
+        qc = QuantConfig(init_percentile=99.0)
+        img_f, _, _ = render_quantized(full, state, cfg, qf)
+        img_c, _, _ = render_quantized(clip, state, cfg, qc)
+        assert float(psnr_fn(img_c, gt)) > float(psnr_fn(img_f, gt))
