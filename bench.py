@@ -30,12 +30,23 @@ def main():
         print(json.dumps({
             "metric": "decode_fps", "value": 0, "unit": "fps",
             "vs_baseline": 0.0,
-            "error": "bench timed out (TPU relay unresponsive)"}))
+            "error": "bench timed out (TPU relay unresponsive)",
+            # last completed on-hardware measurements, for context ONLY —
+            # they are NOT this run's numbers (see EXPERIMENTS.md round-2
+            # "bin-once decode" and the K-sweep tables for protocols)
+            "stale_last_measured": {"decode_fps": 4153, "decode_fps_full": 215,
+                                     "train_step_ms_cap256": 10.572,
+                                     "measured": "2026-08-17, one v5e core"}}))
         os._exit(2)
 
     signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1800")))
+    # fast pre-flight: a tiny program proves the relay is alive before the
+    # real (longer) budget starts
+    signal.alarm(int(os.environ.get("BENCH_PREFLIGHT_S", "240")))
     import jax
+    import jax.numpy as _pre_jnp
+    float(jax.jit(lambda a: (a @ a).sum())(_pre_jnp.ones((256, 256))))
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1800")))
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
