@@ -22,11 +22,13 @@ import numpy as np
 
 def main():
     # Watchdog: the remote-relay TPU session can wedge (compile-service
-    # stalls have been observed); a hung bench should report the failure
-    # instead of stalling the caller forever.
-    import signal
+    # stalls have been observed) and a stuck client blocks INSIDE a C call,
+    # where a SIGALRM python handler never runs — so the watchdog is a
+    # daemon thread that hard-exits. A fast pre-flight deadline covers the
+    # first tiny program; the full budget covers the rest.
+    import threading
 
-    def _timeout(_sig, _frm):
+    def _bail():
         print(json.dumps({
             "metric": "decode_fps", "value": 0, "unit": "fps",
             "vs_baseline": 0.0,
@@ -36,17 +38,22 @@ def main():
             # "bin-once decode" and the K-sweep tables for protocols)
             "stale_last_measured": {"decode_fps": 4153, "decode_fps_full": 215,
                                      "train_step_ms_cap256": 10.572,
-                                     "measured": "2026-08-17, one v5e core"}}))
+                                     "measured": "2026-08-17, one v5e core"}}),
+              flush=True)
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, _timeout)
-    # fast pre-flight: a tiny program proves the relay is alive before the
-    # real (longer) budget starts
-    signal.alarm(int(os.environ.get("BENCH_PREFLIGHT_S", "240")))
+    deadline = {"t": time.time() + int(os.environ.get("BENCH_PREFLIGHT_S", "240"))}
+
+    def _watch():
+        while time.time() < deadline["t"]:
+            time.sleep(1.0)
+        _bail()
+
+    threading.Thread(target=_watch, daemon=True).start()
     import jax
     import jax.numpy as _pre_jnp
     float(jax.jit(lambda a: (a @ a).sum())(_pre_jnp.ones((256, 256))))
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1800")))
+    deadline["t"] = time.time() + int(os.environ.get("BENCH_TIMEOUT_S", "1800"))
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
