@@ -38,6 +38,12 @@ def parse_args(argv):
     p.add_argument("--num_images", type=int, default=None)
     p.add_argument("--log_dir", type=str, default="./checkpoints_quant")
     p.add_argument("--log_every", type=int, default=10000)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="directory of per-image repr checkpoints (as "
+                        "scripts/train.py saves: <model_path>/<image>/"
+                        "gaussian_model); warm-starts the warmup phase from "
+                        "them, like the reference's checkpoint load "
+                        "(train_quantize.py:53-69,367-377)")
     p.add_argument("--write_bitstream", action="store_true",
                    help="serialize the full rANS bitstream per image "
                         "(<log_dir>/<image>.gipb), decode it back, and "
@@ -89,9 +95,20 @@ def main(argv):
         qcfg = QuantConfig(xy_bit=args.xy_bit, cov_bit=args.cov_bit,
                            color_bit=args.color_bit, xy_quant=args.xy_quant,
                            cov_quant=args.cov_quant, color_quant=args.color_quant)
+        init_gs = None
+        if args.model_path:
+            import jax as _jax
+            from gaussianimage_plus_tpu.models import init_state
+            from gaussianimage_plus_tpu.utils.checkpoint import load_checkpoint
+            ckpt = Path(args.model_path) / Path(name).stem / "gaussian_model"
+            if ckpt.exists():
+                template = init_state(cfg, 1, _jax.random.PRNGKey(0))
+                init_gs, _ = load_checkpoint(ckpt, template)
+                logwriter.write(f"warm-start from {ckpt}")
         res = fit_image_quantized(gt, cfg, tcfg, qcfg, args.num_points,
                                   warmup_iter=args.warmup_iter, seed=args.seed,
-                                  log_every=args.log_every, logger=logwriter)
+                                  log_every=args.log_every, logger=logwriter,
+                                  init_state=init_gs)
         bs_path = (str(Path(args.log_dir) / f"{Path(name).stem}.gipb")
                    if args.write_bitstream else None)
         stats = encode_decode_eval(res.state, res.bundle, gt, cfg, qcfg,
