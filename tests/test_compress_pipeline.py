@@ -208,3 +208,26 @@ class TestPercentileInit:
         img_f, _, _ = render_quantized(full, state, cfg, qf)
         img_c, _, _ = render_quantized(clip, state, cfg, qc)
         assert float(psnr_fn(img_c, gt)) > float(psnr_fn(img_f, gt))
+
+
+class TestFp16XyMode:
+    def test_codec_roundtrip_and_accounting(self):
+        """ADVICE fix coverage: xy_quant='fp16' must round-trip positions
+        through fp16 in the codec (not the LSQ grid) and charge 16
+        bits/coord (gaussianimage_covariance.py:414-419)."""
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig(xy_quant="fp16")
+        bundle = init_quantizers(state, cfg, qcfg)
+        enc = compress_wo_ec(bundle, state, cfg, qcfg)
+        # codes ARE the fp16 round-trip values
+        act = np.asarray(enc.active)
+        got = np.asarray(enc.quant_means)[act]
+        want = np.asarray(state.params.xyz).astype(np.float16).astype(
+            np.float32)[act]
+        np.testing.assert_array_equal(got, want)
+        out = decompress_wo_ec(bundle, enc, state.bound, cfg, qcfg)
+        img_q, _, _ = render_quantized(bundle, state, cfg, qcfg)
+        assert float(jnp.mean(jnp.abs(out - img_q))) < 0.05
+        stats = analysis_wo_ec(enc, cfg, qcfg)
+        n = int(enc.num_active)
+        assert np.isclose(stats["position_bpp"], n * 2 * 16 / (cfg.H * cfg.W))
