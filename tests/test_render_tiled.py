@@ -54,6 +54,29 @@ class TestBinning:
             got = ids[t][mask[t]]
             np.testing.assert_array_equal(got, expect[:256])
 
+    def test_overfull_tiles_clip_deterministically(self):
+        """When occupancy exceeds the cap, the FIRST cap members by Gaussian
+        id survive — the reference's shared-memory batch order
+        (forward.cu:673 takes the first 256 sorted intersections). Training
+        at a sub-occupancy cap leans on this determinism (see EXPERIMENTS.md
+        'tile-cap semantics trap'), so pin it."""
+        xy, cov, colors, opacity, H, W = make_scene(n=200, seed=5)
+        # concentrate everything in one tile to force overflow
+        xy = jnp.full_like(xy, 8.0)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        from gaussianimage_plus_tpu.core import tile_membership
+        member = np.asarray(tile_membership(proj, H, W))
+        cap = 16
+        for method in ("top_k", "scatter"):
+            bins = bin_gaussians(proj, H, W, cap=cap, method=method)
+            ids, mask = np.asarray(bins.ids), np.asarray(bins.mask)
+            count = np.asarray(bins.count)
+            for t in range(member.shape[0]):
+                expect = np.nonzero(member[t])[0]
+                np.testing.assert_array_equal(ids[t][mask[t]], expect[:cap],
+                                              err_msg=f"{method} tile {t}")
+                assert count[t] == min(len(expect), cap)
+
 
 class TestTiledForward:
     def test_matches_dense(self):
