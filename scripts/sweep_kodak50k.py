@@ -35,6 +35,10 @@ def main(argv):
     # exploits the clipping — the state then renders WORSE under reference
     # (256-cap) semantics. Fwd+bwd cost is flat from K=144 to 256.
     p.add_argument("--tile_cap", type=int, default=256)
+    p.add_argument("--max_dispatch_steps", type=int, default=2500,
+                   help="steps fused per device execution (>60s single "
+                        "executions kill the TPU worker; lower for slow "
+                        "steps, e.g. 200 at 2K)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug; the site config "
                         "otherwise pins the TPU relay)")
@@ -71,7 +75,8 @@ def main(argv):
         H, W = gt.shape[:2]
         cfg = GaussianConfig(H=H, W=W, max_num_points=args.max_num_points,
                              tile_cap=args.tile_cap)
-        tcfg = TrainConfig(iterations=args.iterations, lr=0.018)
+        tcfg = TrainConfig(iterations=args.iterations, lr=0.018,
+                           max_dispatch_steps=args.max_dispatch_steps)
         t0 = time.time()
         res = fit_image(gt, cfg, tcfg, num_points=args.num_points, seed=3047,
                         log_every=10000,
