@@ -88,8 +88,13 @@ def _pack_gaussian(values: np.ndarray) -> bytes:
     counts = gaussian_counts(mean, std, vmin, vmax)
     # u16 is exact: counts are a normalized pmf scaled by 2^16 with floor,
     # so every entry is < 65536 whenever the support has >1 symbol (always:
-    # compress_gaussian widens vmin==vmax)
-    assert int(counts.max()) <= 0xFFFF
+    # compress_gaussian widens vmin==vmax). Raise (not assert — stripped
+    # under -O) so a violated invariant fails at encode, not as a
+    # desynchronized stream at decode.
+    if int(counts.max()) > 0xFFFF:
+        raise ValueError(
+            f"gaussian counts overflow u16 (max {int(counts.max())}); "
+            f"support [{vmin}, {vmax}] degenerate")
     return b"".join([
         _struct.pack("<IiiI", flat.size, vmin, vmax, words.size),
         counts.astype(np.uint16).tobytes(),
@@ -102,38 +107,87 @@ def _pack_stream(values: np.ndarray) -> bytes:
     return (b"\x00" + cat) if len(cat) <= len(gau) else (b"\x01" + gau)
 
 
-def _unpack_stream(buf: bytes, off: int, version: int = VERSION) -> Tuple[np.ndarray, int]:
+def _check(cond: bool, what: str):
+    """Untrusted-input validation: raise a uniform ValueError, never feed
+    inconsistent sizes/tables to numpy allocations or the native rANS
+    decoder (ADVICE r2: malformed .gipb must fail loudly in Python)."""
+    if not cond:
+        raise ValueError(f"malformed bitstream: {what}")
+
+
+# header n caps every stream's symbol count: the largest stream is n rows x 3
+# columns; anything bigger than that in a length field is corruption.
+_MAX_SYMS = 1 << 28
+
+
+def _unpack_stream(buf: bytes, off: int, version: int = VERSION,
+                   max_syms: int = _MAX_SYMS) -> Tuple[np.ndarray, int]:
+    _check(off < len(buf), "truncated before stream tag")
     tag = buf[off]
     off += 1
     if tag == 0:
+        _check(off + 9 <= len(buf), "truncated categorical header")
         n_sym, n_unique, dtag = _struct.unpack_from("<IIB", buf, off)
         off += 9
+        _check(0 < n_sym <= max_syms, f"categorical n_sym {n_sym}")
+        _check(dtag in _DTYPE_TAGS, f"unknown dtype tag {dtag}")
         dt = np.dtype(_DTYPE_TAGS[dtag])
+        _check(0 < n_unique <= min(n_sym, 1 << 24),
+               f"categorical n_unique {n_unique}")
+        need = n_unique * (dt.itemsize + 4) + 4
+        _check(off + need <= len(buf), "truncated categorical tables")
         unique = np.frombuffer(buf, dt, n_unique, off).copy()
         off += n_unique * dt.itemsize
         counts = np.frombuffer(buf, np.uint32, n_unique, off).copy()
         off += n_unique * 4
         (n_words,) = _struct.unpack_from("<I", buf, off)
         off += 4
+        _check(off + n_words * 2 <= len(buf), "truncated categorical words")
+        _check(int(counts.sum()) > 0 and int(counts.min()) > 0,
+               "categorical counts table has zero entries")
+        _check(int(counts.sum()) == n_sym,
+               "categorical counts do not sum to n_sym")
         words = np.frombuffer(buf, np.uint16, n_words, off).copy()
         off += n_words * 2
         idx = decode_rans(words, counts, n_sym)
+        _check(bool((idx >= 0).all() and (idx < n_unique).all()),
+               "categorical indices out of range")
         return unique.astype(np.int64)[idx], off
+    _check(tag == 1, f"unknown stream tag {tag}")
     if version == 1:
+        hdr = _struct.calcsize("<IffiiI")
+        _check(off + hdr <= len(buf), "truncated gaussian(v1) header")
         n_sym, mean, std, vmin, vmax, n_words = _struct.unpack_from(
             "<IffiiI", buf, off)
-        off += _struct.calcsize("<IffiiI")
+        off += hdr
+        _check(0 < n_sym <= max_syms, f"gaussian n_sym {n_sym}")
+        _check(vmax >= vmin and vmax - vmin < (1 << 20),
+               f"gaussian support [{vmin}, {vmax}]")
+        _check(np.isfinite(mean) and np.isfinite(std) and std > 0,
+               "gaussian (mean, std) invalid")
+        _check(off + n_words * 2 <= len(buf), "truncated gaussian(v1) words")
         words = np.frombuffer(buf, np.uint16, n_words, off).copy()
         off += n_words * 2
         return decompress_gaussian(words, mean, std, vmin, vmax, n_sym), off
+    hdr = _struct.calcsize("<IiiI")
+    _check(off + hdr <= len(buf), "truncated gaussian header")
     n_sym, vmin, vmax, n_words = _struct.unpack_from("<IiiI", buf, off)
-    off += _struct.calcsize("<IiiI")
+    off += hdr
+    _check(0 < n_sym <= max_syms, f"gaussian n_sym {n_sym}")
+    _check(vmax >= vmin and vmax - vmin < (1 << 20),
+           f"gaussian support [{vmin}, {vmax}]")
     support = vmax - vmin + 1
+    _check(off + support * 2 + n_words * 2 <= len(buf),
+           "truncated gaussian tables/words")
     counts = np.frombuffer(buf, np.uint16, support, off).astype(np.uint32)
     off += support * 2
+    _check(int(counts.sum()) > 0, "gaussian counts table all zero")
     words = np.frombuffer(buf, np.uint16, n_words, off).copy()
     off += n_words * 2
-    return decode_rans(words, counts, n_sym).astype(np.int64) + vmin, off
+    sym = decode_rans(words, counts, n_sym)
+    _check(bool((counts[sym] > 0).all()),
+           "decoded symbols fall on zero-count slots")
+    return sym.astype(np.int64) + vmin, off
 
 
 def _f32s(*arrays) -> bytes:

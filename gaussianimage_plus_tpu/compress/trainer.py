@@ -153,7 +153,7 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
 
 def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
                        gt, cfg: GaussianConfig, qcfg: QuantConfig,
-                       n_renders: int = 100,
+                       n_renders: int = 0,
                        write_bitstream: Optional[str] = None) -> dict:
     """encode() deliverables (train_quantize.py:239-269): codes, decode FPS,
     bpp decomposition, quantized PSNR / MS-SSIM.
@@ -168,30 +168,12 @@ def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
         lambda s: compress_wo_ec(bundle, s, cfg, qcfg))
     enc = compress_jit(res_state)
 
-    # Decode timing: n_renders sequential decodes inside ONE program (scan
-    # with a data dependency between iterations), so the measurement reflects
-    # device decode throughput rather than the development tunnel's per-call
-    # dispatch latency. Sync is a host fetch.
     def decode_once(e, fb):
         e = e._replace(quant_means=e.quant_means + fb)
         img = decompress_wo_ec(bundle, e, res_state.bound, cfg, qcfg)
         return img, img[0, 0, 0] * 1e-7
 
-    @jax.jit
-    def decode_n(e, fb0):
-        def body(fb, _):
-            img, fb2 = decode_once(e, fb)
-            return fb2, img[0, 0, 0]
-        fb, probes = jax.lax.scan(body, fb0, None, length=n_renders)
-        img, _ = decode_once(e, fb)
-        return img, probes
-
-    out, probes = decode_n(enc, jnp.zeros(()))
-    _ = np.asarray(out)
-    t0 = time.perf_counter()
-    out, probes = decode_n(enc, jnp.asarray(float(probes[0]) * 1e-9))
-    _ = np.asarray(out)
-    dt = (time.perf_counter() - t0) / (n_renders + 1)
+    out = jax.jit(lambda e: decode_once(e, jnp.zeros(()))[0])(enc)
 
     stats = analysis_wo_ec(enc, cfg, qcfg, bundle)
     metrics = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
@@ -199,9 +181,51 @@ def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
     stats.update({
         "psnr": float(psnr_v),
         "ms_ssim": float(msssim_v),
-        "rendering_time": dt,
-        "rendering_fps": 1.0 / dt,
     })
+
+    # Decode-FPS measurement is OPT-IN (n_renders > 0): the sweep's job is
+    # quality; bench.py owns the headline decode-FPS protocol. Round-2
+    # lessons baked in here: (a) a short scan's dispatch overhead does NOT
+    # amortize through the dev relay (0.1-3.4 s/call), so the recorded
+    # 4-26 "fps" were ~1000x-off garbage — a two-length marginal
+    # subtraction cancels it; (b) fresh-shape long-scan compiles through
+    # the remote compile service stalled 25+ min on portrait images, so
+    # skipping this entirely (the default) removes the biggest per-image
+    # compile risk. Field name says what it is: the full per-frame
+    # decompress_wo_ec protocol (train_quantize.py:239-247), not the
+    # bin-once production decode path.
+    if n_renders and n_renders > 0:
+        def decode_n_factory(n):
+            @jax.jit
+            def decode_n(e, fb0):
+                def body(fb, _):
+                    img, fb2 = decode_once(e, fb)
+                    return fb2, img[0, 0, 0]
+                fb, probes = jax.lax.scan(body, fb0, None, length=n)
+                img, _ = decode_once(e, fb)
+                return img, probes
+            return decode_n
+
+        times = {}
+        n_small = max(2, n_renders // 5)
+        for n in (n_small, n_renders):
+            f = decode_n_factory(n)
+            img, probes = f(enc, jnp.zeros(()))
+            _ = np.asarray(img)
+            best = float("inf")
+            fb = float(probes[0]) * 1e-9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                img, probes = f(enc, jnp.asarray(fb))
+                _ = np.asarray(img)
+                best = min(best, time.perf_counter() - t0)
+                fb += 1e-9
+            times[n] = best
+        delta = times[n_renders] - times[n_small]
+        dt = (delta / (n_renders - n_small) if delta > 0.005
+              else times[n_renders] / n_renders)
+        stats["decode_full_time"] = dt
+        stats["decode_full_fps"] = 1.0 / dt
 
     # ANS-recompressed rate (bpp_wc): quantized-Gaussian global model over the
     # cov and color code streams (train_quantize.py:250-252 — position keeps

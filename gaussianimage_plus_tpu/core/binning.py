@@ -41,11 +41,17 @@ class TileBins(NamedTuple):
            into range so gathers are always safe).
     mask:  [T, cap] bool — slot holds a real member.
     count: [T] int32 — number of members kept (== min(#members, cap)).
+    super_overflow: scalar int32 (hier method only, else None) — total
+           candidates dropped at the super-tile level. Nonzero means the
+           hier result may differ from the exact flat binning even for
+           tiles whose own occupancy is under ``cap`` (ADVICE r2): check
+           it when validating large-grid sweeps.
     """
 
     ids: jax.Array
     mask: jax.Array
     count: jax.Array
+    super_overflow: jax.Array | None = None
 
 
 def _membership(proj: Projected, tile_bounds: Tuple[int, int],
@@ -137,6 +143,9 @@ def _bin_hier(proj: Projected, tile_bounds: Tuple[int, int], cap: int,
     in_y = (sy[:, None, None] >= symin[None, None, :]) & \
            (sy[:, None, None] < symax[None, None, :])
     s_member = (in_x & in_y & proj.valid[None, None, :]).reshape(S, N)
+    # surfaced divergence signal: candidates silently dropped at level 1
+    s_count = jnp.sum(s_member, axis=1, dtype=jnp.int32)
+    overflow = jnp.sum(jnp.maximum(s_count - super_cap, 0))
     cand = _select_members(s_member, super_cap, "top_k")       # ascending ids
 
     # per-candidate tile bboxes, gathered once per super-tile [S, super_cap]
@@ -153,7 +162,8 @@ def _bin_hier(proj: Projected, tile_bounds: Tuple[int, int], cap: int,
     sel = _select_members(member2, cap, "top_k")               # cols into cand
     ids = cand.ids[s_of_t[:, None], sel.ids]                   # ascending: both
     ids = jnp.where(sel.mask, ids, 0)                          # levels preserve
-    return TileBins(ids=ids, mask=sel.mask, count=sel.count)   # index order
+    return TileBins(ids=ids, mask=sel.mask, count=sel.count,   # index order
+                    super_overflow=overflow)                   # both levels
 
 
 def bin_gaussian_rows(proj: Projected, H: int, W: int, tile_start,

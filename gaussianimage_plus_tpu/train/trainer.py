@@ -369,8 +369,16 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
     for p0, p1, seg_end in sched:
         if p1 <= start_iter:
             continue
-        assert p0 >= start_iter, (
-            f"resume point {start_iter} is not on the dispatch schedule")
+        if p0 < start_iter:
+            raise ValueError(
+                f"checkpointed next_iter={start_iter} does not lie on the "
+                f"current dispatch schedule (segment [{p0}, {p1})). The "
+                f"checkpoint was written under different scheduling "
+                f"parameters — current: max_dispatch_steps="
+                f"{tcfg.max_dispatch_steps}, grow_iter={tcfg.grow_iter}, "
+                f"prune_iter={tcfg.prune_iter}, iterations="
+                f"{tcfg.iterations}. Resume with the run's original "
+                f"settings, or delete the checkpoint to restart.")
         do_grow = (tcfg.adaptive_add and seg_end % tcfg.grow_iter == 0
                    and seg_end < tcfg.iterations)
         final_fill = seg_end == tcfg.iterations - tcfg.grow_iter

@@ -42,6 +42,14 @@ def main(argv):
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug; the site config "
                         "otherwise pins the TPU relay)")
+    p.add_argument("--color_norm", action="store_true",
+                   help="sigmoid-bounded colors. The reference's compression "
+                        "recipe trains the repr phase with this too "
+                        "(README.md:85-88) — use it for checkpoints feeding "
+                        "sweep_quant50k; plain repr training leaves it off")
+    p.add_argument("--deadline_ts", type=float, default=None,
+                   help="unix time: don't START a new image after this "
+                        "(clean exit between images)")
     args = p.parse_args(argv)
 
     import jax
@@ -71,10 +79,14 @@ def main(argv):
         if name in done:
             print(f"{name}: already done, skipping", flush=True)
             continue
+        if args.deadline_ts and time.time() > args.deadline_ts:
+            print(f"deadline reached, stopping before {name}", flush=True)
+            break
         gt = load_image(img_path)
         H, W = gt.shape[:2]
         cfg = GaussianConfig(H=H, W=W, max_num_points=args.max_num_points,
-                             tile_cap=args.tile_cap)
+                             tile_cap=args.tile_cap,
+                             color_norm=args.color_norm)
         tcfg = TrainConfig(iterations=args.iterations, lr=0.018,
                            max_dispatch_steps=args.max_dispatch_steps)
         t0 = time.time()

@@ -50,14 +50,19 @@ def main(argv):
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug; the site config "
                         "otherwise pins the TPU relay)")
-    p.add_argument("--n_renders", type=int, default=20,
-                   help="timed decodes in the eval scan. The reference uses "
-                        "100, but a fresh-shape scan compile through the "
-                        "remote-compile relay can hang for 20+ min at length "
-                        "100; 20 keeps the per-frame timing honest (it is a "
-                        "chained in-graph scan either way) at ~5x less "
-                        "compile risk. bench.py owns the headline decode-FPS "
-                        "measurement.")
+    p.add_argument("--n_renders", type=int, default=0,
+                   help="opt-in per-frame decode timing (two-length marginal "
+                        "scan protocol). Default 0 = skip: bench.py owns the "
+                        "headline decode-FPS measurement, the round-2 scan "
+                        "timings through the relay were dispatch noise, and "
+                        "fresh-shape long-scan compiles stalled the remote "
+                        "compile service 25+ min on portrait images.")
+    p.add_argument("--color_norm", action="store_true",
+                   help="sigmoid-bounded colors — the reference's OWN "
+                        "compression recipe trains both phases with this "
+                        "(README.md:85-88); the 6-bit color quantizer then "
+                        "sees a [0,1] distribution instead of a heavy-tailed "
+                        "unbounded one (measured -12 dB at init without it)")
     p.add_argument("--deadline_ts", type=float, default=None,
                    help="unix time: don't START a new image after this "
                         "(clean exit between images; killing a TPU client "
@@ -102,7 +107,8 @@ def main(argv):
         gt = load_image(img_path)
         H, W = gt.shape[:2]
         cfg = GaussianConfig(H=H, W=W, max_num_points=args.max_num_points,
-                             tile_cap=args.tile_cap)
+                             tile_cap=args.tile_cap,
+                             color_norm=args.color_norm)
         tcfg = TrainConfig(iterations=args.iterations, lr=0.018,
                            max_dispatch_steps=args.max_dispatch_steps)
         qcfg = QuantConfig()
@@ -133,7 +139,7 @@ def main(argv):
             f.write(json.dumps(rec) + "\n")
         print(f"{name}: PSNR {stats['psnr']:.4f} MS-SSIM {stats['ms_ssim']:.4f} "
               f"bpp {stats['bpp']:.4f} bpp_wc {stats['bpp_wc']:.4f} "
-              f"decode_fps {stats['rendering_fps']:.0f} ({rec['wall']:.0f}s)",
+              f"({rec['wall']:.0f}s)",
               flush=True)
 
     recs = ([json.loads(l) for l in out_path.read_text().splitlines()]
@@ -141,7 +147,7 @@ def main(argv):
     if recs:
         n = len(recs)
         for k in ("psnr", "ms_ssim", "bpp", "bpp_wc", "bpp_stream",
-                  "stream_psnr", "rendering_fps"):
+                  "stream_psnr", "decode_full_fps"):
             vals = [r[k] for r in recs if k in r]
             if vals:
                 print(f"AVERAGE {k} over {len(vals)}: "

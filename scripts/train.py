@@ -70,13 +70,20 @@ def image_list(args):
 def main(argv):
     args = parse_args(argv)
     # the reference remaps the hyperparameter bundle for non-Covariance
-    # models unconditionally (train.py:256-262): Adan at lr 1e-3, no
-    # growth/prune
+    # models (train.py:256-262): Adan at lr 1e-3, no growth/prune. Unlike
+    # the reference, only fill in values the user did NOT pass explicitly
+    # (ADVICE r2: silently overriding explicit flags), and say so.
     if args.model_name != "GaussianImage_Covariance":
-        args.lr = 0.001
-        args.opt_type = "adan"
-        args.adaptive_add = False
-        args.prune = False
+        passed = {a.lstrip("-").split("=")[0] for a in argv
+                  if a.startswith("--")}
+        remap = {"lr": 0.001, "opt_type": "adan",
+                 "adaptive_add": False, "prune": False}
+        for k, v in remap.items():
+            if k not in passed:
+                setattr(args, k, v)
+            elif getattr(args, k) != v:
+                print(f"note: --{k}={getattr(args, k)} overrides the "
+                      f"reference's {args.model_name} bundle value {v}")
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -96,7 +96,7 @@ class TestQuantTraining:
         stats = encode_decode_eval(res.state, res.bundle, gt, cfg, qcfg, n_renders=3)
         assert stats["psnr"] > 14.0
         assert stats["bpp"] > 0
-        assert np.isfinite(stats["rendering_fps"])
+        assert np.isfinite(stats["decode_full_fps"])
 
     def test_macro_chunk_matches_sequential(self):
         # one fused dispatch must be step-for-step identical to successive

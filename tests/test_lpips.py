@@ -92,6 +92,21 @@ class TestLPIPS:
             assert w.shape[0] == c and w.shape[2:] == (3, 3)
         assert tuple(w.shape[0] for w in self.params.lin_w) == LIN_CHANNELS
 
+    def test_committed_fixture(self):
+        """Pin vs a COMMITTED torch-mirror output (tests/fixtures/) so the
+        numeric contract holds even where torch is absent; real-weight
+        validation stays environment-gated (no pretrained VGG offline —
+        same gate as the reference's `pip install lpips` download,
+        models/metrics.py:48-117)."""
+        import pathlib
+        fx = np.load(pathlib.Path(__file__).parent / "fixtures"
+                     / "lpips_fixture.npz")
+        params = random_params(jax.random.PRNGKey(int(fx["seed"])))
+        got = float(lpips(jnp.asarray(fx["im0"]), jnp.asarray(fx["im1"]),
+                          params))
+        assert got == pytest.approx(float(fx["expected_torch"]),
+                                    rel=1e-4, abs=1e-6)
+
     def test_npz_round_trip(self, tmp_path):
         p = str(tmp_path / "w.npz")
         save_npz(p, self.params)
