@@ -120,13 +120,19 @@ def bin_gaussians(proj: Projected, H: int, W: int, cap: int = 256,
 
 
 def _bin_hier(proj: Projected, tile_bounds: Tuple[int, int], cap: int,
-              block_h: int, block_w: int, ss: int, super_cap: int) -> TileBins:
+              block_h: int, block_w: int, ss, super_cap: int) -> TileBins:
     """Two-level binning. Level 1 bins Gaussians into super-tiles (a bbox
     test at super-tile granularity, [S, N]); level 2 tests each tile only
-    against its super-tile's candidate list ([T, super_cap])."""
+    against its super-tile's candidate list ([T, super_cap]).
+
+    ``ss`` is the super-tile shape in tiles: an int for square super-tiles or
+    an ``(ss_y, ss_x)`` tuple — e.g. ``(1, tb_x)`` makes each super-tile a
+    full tile ROW, which shrinks level 2's candidate axis from N to the
+    row's population."""
     tb_x, tb_y = tile_bounds
     N = proj.xys.shape[0]
-    sb_x, sb_y = -(-tb_x // ss), -(-tb_y // ss)
+    ss_y, ss_x = (ss, ss) if isinstance(ss, int) else ss
+    sb_x, sb_y = -(-tb_x // ss_x), -(-tb_y // ss_y)
     S = sb_x * sb_y
     super_cap = min(super_cap, N)
 
@@ -134,8 +140,8 @@ def _bin_hier(proj: Projected, tile_bounds: Tuple[int, int], cap: int,
         proj.xys, proj.radii.astype(jnp.float32), tile_bounds, block_h, block_w)
 
     # ---- level 1: super-tile membership + candidate compaction ----
-    sxmin, sxmax = xmin // ss, -(-xmax // ss)     # [N] in super-tile units
-    symin, symax = ymin // ss, -(-ymax // ss)
+    sxmin, sxmax = xmin // ss_x, -(-xmax // ss_x)  # [N] in super-tile units
+    symin, symax = ymin // ss_y, -(-ymax // ss_y)
     sx = jnp.arange(sb_x, dtype=jnp.int32)
     sy = jnp.arange(sb_y, dtype=jnp.int32)
     in_x = (sx[None, :, None] >= sxmin[None, None, :]) & \
@@ -155,7 +161,7 @@ def _bin_hier(proj: Projected, tile_bounds: Tuple[int, int], cap: int,
     # ---- level 2: each tile vs its super-tile's candidates ----
     t = jnp.arange(tb_y * tb_x, dtype=jnp.int32)
     tx, ty = t % tb_x, t // tb_x
-    s_of_t = (ty // ss) * sb_x + (tx // ss)                    # [T]
+    s_of_t = (ty // ss_y) * sb_x + (tx // ss_x)                # [T]
     in_x2 = (tx[:, None] >= c_xmin[s_of_t]) & (tx[:, None] < c_xmax[s_of_t])
     in_y2 = (ty[:, None] >= c_ymin[s_of_t]) & (ty[:, None] < c_ymax[s_of_t])
     member2 = in_x2 & in_y2 & cand.mask[s_of_t]                # [T, super_cap]
@@ -183,6 +189,31 @@ def _select_members(member: jax.Array, cap: int, method: str) -> TileBins:
     count_all = jnp.sum(member, axis=1, dtype=jnp.int32)
     count = jnp.minimum(count_all, cap)
 
+    if method == "rank":
+        # Exact id-order selection without a sort: the (s+1)-th member of a
+        # row is the first n where the inclusive membership cumsum reaches
+        # s+1 — a batched binary search over the nondecreasing rank rows.
+        # O(T*(N + cap*log N)) gathers instead of top_k's per-row partial
+        # sort; measured 2-3x faster than lax.top_k at the Kodak operating
+        # point on v5e (see EXPERIMENTS.md round-3 breakdown).
+        rank = jnp.cumsum(member, axis=1, dtype=jnp.int32)      # [T, N]
+        k_eff = min(cap, N)
+        targets = jnp.arange(1, k_eff + 1, dtype=jnp.int32)[None, :]
+        lo = jnp.zeros((T, k_eff), jnp.int32)
+        hi = jnp.full((T, k_eff), N, jnp.int32)
+        for _ in range(max(N, 2).bit_length()):
+            mid = (lo + hi) >> 1
+            vals = jnp.take_along_axis(rank, jnp.minimum(mid, N - 1), axis=1)
+            go_right = vals < targets
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        mask = targets <= count[:, None]
+        ids = jnp.where(mask, jnp.minimum(lo, N - 1), 0)
+        if k_eff < cap:
+            ids = jnp.pad(ids, ((0, 0), (0, cap - k_eff)))
+            mask = jnp.pad(mask, ((0, 0), (0, cap - k_eff)))
+        return TileBins(ids=ids, mask=mask, count=count)
+
     if method == "scatter":
         rank = jnp.cumsum(member, axis=1, dtype=jnp.int32) - 1     # [T, N]
         slot = jnp.where(member & (rank < cap), rank, cap)          # cap -> dropped
@@ -196,9 +227,27 @@ def _select_members(member: jax.Array, cap: int, method: str) -> TileBins:
         # key: members get N - index (descending over index), non-members 0.
         key = jnp.where(member, N - jnp.arange(N, dtype=jnp.int32)[None, :], 0)
         k_eff = min(cap, N)
-        topv, _ = jax.lax.top_k(key, k_eff)                         # [T, k_eff] desc
-        if k_eff < cap:
-            topv = jnp.pad(topv, ((0, 0), (0, cap - k_eff)))
+
+        # Occupancy-adaptive k: when every tile's (unclipped) count fits in a
+        # smaller tier, top_k at that tier selects exactly the same members
+        # (keys descending == ids ascending, surplus columns all-empty) —
+        # lax.top_k cost grows with k, and converged Kodak states occupy
+        # ~30-80 of cap 256. Runtime lax.switch, exact at every state.
+        def tk(k_tier):
+            def f(_):
+                topv, _ = jax.lax.top_k(key, k_tier)       # [T, k_tier] desc
+                if k_tier < cap:
+                    return jnp.pad(topv, ((0, 0), (0, cap - k_tier)))
+                return topv
+            return f
+
+        tiers = [t for t in (64, 128) if t < k_eff] + [k_eff]
+        if len(tiers) == 1:
+            topv = tk(k_eff)(None)
+        else:
+            max_c = jnp.max(count_all)
+            idx = sum((max_c > t).astype(jnp.int32) for t in tiers[:-1])
+            topv = jax.lax.switch(idx, [tk(t) for t in tiers], None)
         mask = topv > 0
         ids = jnp.where(mask, N - topv, 0)
     else:

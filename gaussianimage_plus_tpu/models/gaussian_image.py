@@ -69,6 +69,12 @@ class GaussianConfig:
     block_w: int = struct.field(pytree_node=False, default=BLOCK_W)
     # 'auto' = flat top_k at Kodak scale, two-level 'hier' for large grids
     bin_method: str = struct.field(pytree_node=False, default="auto")
+    # static per-Gaussian tile budget for the backward's inverse-map gradient
+    # gather (kernels/raster_pallas._gather_grads); exact — falls back to the
+    # scatter path in-graph whenever any bbox exceeds it. 0 (default) = the
+    # occupancy-adaptive scatter, which measured faster on v5e (TPU XLA
+    # scalar gathers serialize; see EXPERIMENTS.md round-3 A/B).
+    grad_gather_tiles: int = struct.field(pytree_node=False, default=0)
     # rasterizer backend: 'pallas' (fused TPU kernels), 'xla' (pure-JAX tiled
     # path), or 'auto' (pallas on TPU, xla elsewhere)
     raster_backend: str = struct.field(pytree_node=False, default="auto")
@@ -213,12 +219,13 @@ def render(state: GaussianState, cfg: GaussianConfig,
         return jnp.clip(img, 0.0, 1.0)
     if backend == "pallas":
         from ..kernels.raster_pallas import rasterize_pallas
-        raster = rasterize_pallas
+        img = rasterize_pallas(proj.xys, proj.conics, colors, opacity,
+                               bins.ids, bins.mask, proj.radii, cfg.H, cfg.W,
+                               cfg.block_h, cfg.block_w, cfg.grad_gather_tiles)
     else:
-        raster = rasterize_tiled
-    img = raster(proj.xys, proj.conics, colors, opacity,
-                 bins.ids, bins.mask, cfg.H, cfg.W,
-                 cfg.block_h, cfg.block_w)
+        img = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
+                              bins.ids, bins.mask, cfg.H, cfg.W,
+                              cfg.block_h, cfg.block_w)
     return jnp.clip(img, 0.0, 1.0)
 
 

@@ -408,6 +408,12 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
             break
     jax.block_until_ready(ts.gaussians.params.xyz)
     train_time = time.perf_counter() - t0
+    if ckpt_path and p1 == tcfg.iterations:
+        # final checkpoint at completion: downstream warm starts (the QAT
+        # sweep loads restore_best of this state, train_quantize.py:53-69
+        # semantics) must see the full-schedule best, not the last periodic
+        # snapshot 10k iterations earlier
+        save_checkpoint(ckpt_path, ts, extra={"next_iter": p1})
 
     best = restore_best(ts)
     history = {k: jnp.concatenate(v) for k, v in history.items()}

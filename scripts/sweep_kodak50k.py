@@ -28,6 +28,10 @@ def main(argv):
     p.add_argument("--max_num_points", type=int, default=5000)
     p.add_argument("--out", default="results/kodak50k_r2.jsonl")
     p.add_argument("--ckpt_dir", default="results/ckpt50k")
+    p.add_argument("--state_dir", default=None,
+                   help="also export the best GaussianState per image as a "
+                        "compact .npz (committed artifact for cross-round "
+                        "QAT warm starts)")
     p.add_argument("--checkpoint_every", type=int, default=10000)
     p.add_argument("--num_images", type=int, default=None)
     # 256 = the reference's own per-tile cap. Round-2 lesson: 50k-converged
@@ -95,6 +99,22 @@ def main(argv):
                         checkpoint_dir=os.path.join(args.ckpt_dir, name),
                         checkpoint_every=args.checkpoint_every, resume=True)
         ev = evaluate(res.state, gt, cfg)
+        if args.state_dir:
+            # compact committed artifact (~200 KB/image): the best state,
+            # enough for QAT warm starts in later rounds without re-running
+            # the 50k repr fit (orbax checkpoints are gitignored)
+            import numpy as np
+            Path(args.state_dir).mkdir(parents=True, exist_ok=True)
+            s = res.state
+            np.savez_compressed(
+                Path(args.state_dir) / f"{name}.npz",
+                xyz=np.asarray(s.params.xyz), cov2d=np.asarray(s.params.cov2d),
+                features=np.asarray(s.params.features),
+                active=np.asarray(s.active), bound=np.asarray(s.bound),
+                num_active=np.asarray(s.num_active),
+                H=H, W=W, color_norm=int(args.color_norm),
+                tile_cap=args.tile_cap, best_psnr=res.best_psnr,
+                best_iter=res.best_iter)
         rec = {"image": name, "psnr": ev["psnr"], "ms_ssim": ev["ms_ssim"],
                "fps": ev["fps"], "num_points": ev["num_points"],
                "best_psnr": res.best_psnr, "best_iter": res.best_iter,

@@ -33,6 +33,10 @@ def main(argv):
     p.add_argument("--repr_ckpt_dir", default="results/ckpt50k",
                    help="per-image repr checkpoints from sweep_kodak50k.py; "
                         "images without one start the warmup from scratch")
+    p.add_argument("--repr_state_dir", default=None,
+                   help="fallback warm-start source: compact .npz states "
+                        "exported by sweep_kodak50k --state_dir (committed "
+                        "artifacts that survive across rounds)")
     p.add_argument("--bitstream_dir", default="results/bitstreams")
     p.add_argument("--num_images", type=int, default=None)
     # 256 = the reference's own per-tile cap (forward.cu:673). 50k-trained
@@ -115,6 +119,8 @@ def main(argv):
 
         init_gs = None
         ckpt = os.path.join(args.repr_ckpt_dir, name, "fit_ckpt")
+        npz = os.path.join(args.repr_state_dir or "", f"{name}.npz") \
+            if args.repr_state_dir else None
         if os.path.exists(ckpt):
             template = init_train_state(cfg, tcfg, args.num_points, seed=3047)
             ts, extra = load_checkpoint(ckpt, template)
@@ -122,6 +128,26 @@ def main(argv):
             print(f"{name}: warm-start from repr ckpt (iter "
                   f"{int(extra['next_iter'])}, best {float(ts.best_psnr):.3f})",
                   flush=True)
+        elif npz and os.path.exists(npz):
+            import jax.numpy as jnp
+            import numpy as np
+            from gaussianimage_plus_tpu.models import GaussianParams, GaussianState
+            d = np.load(npz)
+            if bool(d["color_norm"]) != args.color_norm:
+                raise SystemExit(
+                    f"{name}: repr state {npz} was trained with color_norm="
+                    f"{bool(d['color_norm'])} but the sweep runs "
+                    f"color_norm={args.color_norm}; the color "
+                    f"parameterizations are incompatible")
+            init_gs = GaussianState(
+                params=GaussianParams(xyz=jnp.asarray(d["xyz"]),
+                                      cov2d=jnp.asarray(d["cov2d"]),
+                                      features=jnp.asarray(d["features"])),
+                active=jnp.asarray(d["active"]),
+                bound=jnp.asarray(d["bound"]),
+                num_active=jnp.asarray(d["num_active"]))
+            print(f"{name}: warm-start from repr state npz "
+                  f"(best {float(d['best_psnr']):.3f})", flush=True)
 
         t0 = time.time()
         res = fit_image_quantized(gt, cfg, tcfg, qcfg, args.num_points,

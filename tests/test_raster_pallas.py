@@ -34,7 +34,7 @@ class TestPallasForward:
         xy, cov, colors, opacity, H, W = make_scene()
         proj, bins = setup(xy, cov, H, W)
         img_p = rasterize_pallas(proj.xys, proj.conics, colors, opacity,
-                                 bins.ids, bins.mask, H, W)
+                                 bins.ids, bins.mask, proj.radii, H, W)
         img_x = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
                                 bins.ids, bins.mask, H, W)
         np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
@@ -44,7 +44,8 @@ class TestPallasForward:
         xy, cov, colors, opacity, H, W = make_scene(seed=3)
         proj, bins = setup(xy, cov, H, W)
         f = jax.jit(lambda c: rasterize_pallas(proj.xys, proj.conics, c, opacity,
-                                               bins.ids, bins.mask, H, W))
+                                               bins.ids, bins.mask, proj.radii,
+                                               H, W))
         img = f(colors)
         img_x = rasterize_tiled(proj.xys, proj.conics, colors, opacity,
                                 bins.ids, bins.mask, H, W)
@@ -52,13 +53,18 @@ class TestPallasForward:
 
 
 class TestPallasVJP:
-    def _grads(self, raster, xy, cov, colors, opacity, H, W, bins, proj, seed=7):
+    def _grads(self, raster, xy, cov, colors, opacity, H, W, bins, proj,
+               seed=7, gather_tiles=None):
         rng = np.random.default_rng(seed)
         cot = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
 
         def loss(args):
             xys, conics, col, op = args
-            img = raster(xys, conics, col, op, bins.ids, bins.mask, H, W)
+            if gather_tiles is None:
+                img = raster(xys, conics, col, op, bins.ids, bins.mask, H, W)
+            else:
+                img = raster(xys, conics, col, op, bins.ids, bins.mask,
+                             proj.radii, H, W, 16, 16, gather_tiles)
             return jnp.sum(jnp.clip(img, 0, 1) * cot)
 
         return jax.grad(loss)((proj.xys, proj.conics, colors, opacity))
@@ -66,20 +72,90 @@ class TestPallasVJP:
     def test_vjp_matches_xla(self):
         xy, cov, colors, opacity, H, W = make_scene(n=40, seed=5)
         proj, bins = setup(xy, cov, H, W)
-        g_p = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W, bins, proj)
         g_x = self._grads(rasterize_tiled, xy, cov, colors, opacity, H, W, bins, proj)
-        for a, b, name in zip(g_p, g_x, ["xys", "conics", "colors", "opacity"]):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=2e-3, err_msg=name)
+        for gt_budget in (0, 64):   # scatter path and inverse-map gather path
+            g_p = self._grads(rasterize_pallas, xy, cov, colors, opacity,
+                              H, W, bins, proj, gather_tiles=gt_budget)
+            for a, b, name in zip(g_p, g_x, ["xys", "conics", "colors", "opacity"]):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3,
+                    err_msg=f"{name} gather_tiles={gt_budget}")
 
     def test_vjp_matches_xla_saturated(self):
         xy, cov, colors, opacity, H, W = make_scene(n=30, seed=6, saturate=True)
         proj, bins = setup(xy, cov, H, W)
-        g_p = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W, bins, proj)
         g_x = self._grads(rasterize_tiled, xy, cov, colors, opacity, H, W, bins, proj)
+        for gt_budget in (0, 64):
+            g_p = self._grads(rasterize_pallas, xy, cov, colors, opacity,
+                              H, W, bins, proj, gather_tiles=gt_budget)
+            for a, b, name in zip(g_p, g_x, ["xys", "conics", "colors", "opacity"]):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3,
+                    err_msg=f"{name} gather_tiles={gt_budget}")
+
+    def test_gather_grads_with_clipped_tiles(self):
+        """Inverse-map gather under cap clipping: Gaussians clipped out of an
+        overfull tile must contribute zero gradient from that tile — exactly
+        what the scatter path produces. Force overflow with a tiny cap."""
+        xy, cov, colors, opacity, H, W = make_scene(n=60, seed=11)
+        xy = jnp.concatenate([jnp.full((30, 2), 12.0), xy[30:]], axis=0)
+        from gaussianimage_plus_tpu.core import project_gaussians_2d_covariance
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        bins = bin_gaussians(proj, H, W, cap=8)    # heavy clipping
+        g_s = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W,
+                          bins, proj, gather_tiles=0)
+        g_g = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W,
+                          bins, proj, gather_tiles=64)
+        for a, b, name in zip(g_g, g_s, ["xys", "conics", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+
+    def test_adaptive_scatter_tiers_exact(self):
+        """The occupancy-adaptive scatter (cols 64/128/full picked at runtime
+        from max tile count) must match the XLA-tiled gradients at a large
+        cap, both at low occupancy (tier 64) and with an overfull tile that
+        forces a higher tier."""
+        # low occupancy: every tile count <= 64 -> tier-64 scatter
+        xy, cov, colors, opacity, H, W = make_scene(n=50, seed=21)
+        proj, bins = setup(xy, cov, H, W, cap=256)
+        g_p = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W,
+                          bins, proj, gather_tiles=0)
+        g_x = self._grads(rasterize_tiled, xy, cov, colors, opacity, H, W,
+                          bins, proj)
         for a, b, name in zip(g_p, g_x, ["xys", "conics", "colors", "opacity"]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=2e-3, err_msg=name)
+                                       rtol=1e-3, atol=2e-3,
+                                       err_msg=f"low-occ {name}")
+        # one tile with ~100 members -> crosses the 64 tier
+        xy2, cov2, colors2, opacity2, H, W = make_scene(n=120, seed=22)
+        xy2 = jnp.concatenate([jnp.full((100, 2), 10.0), xy2[100:]], axis=0)
+        proj2, bins2 = setup(xy2, cov2, H, W, cap=256)
+        assert int(bins2.count.max()) > 64
+        g_p2 = self._grads(rasterize_pallas, xy2, cov2, colors2, opacity2,
+                           H, W, bins2, proj2, gather_tiles=0)
+        g_x2 = self._grads(rasterize_tiled, xy2, cov2, colors2, opacity2,
+                           H, W, bins2, proj2)
+        for a, b, name in zip(g_p2, g_x2, ["xys", "conics", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-3,
+                                       err_msg=f"overfull {name}")
+
+    def test_gather_overflow_falls_back_to_scatter(self):
+        """A bbox bigger than gather_tiles must trigger the in-graph scatter
+        fallback — gradients stay exact, never silently truncated."""
+        xy, cov, colors, opacity, H, W = make_scene(n=40, seed=12)
+        cov = cov.at[0].set(jnp.array([3000.0, 0.0, 3000.0]))  # giant bbox
+        from gaussianimage_plus_tpu.core import project_gaussians_2d_covariance
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        assert int(proj.num_tiles_hit.max()) > 2   # the giant covers >2 tiles
+        bins = bin_gaussians(proj, H, W, cap=64)
+        g_s = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W,
+                          bins, proj, gather_tiles=0)
+        g_g = self._grads(rasterize_pallas, xy, cov, colors, opacity, H, W,
+                          bins, proj, gather_tiles=2)   # everything overflows
+        for a, b, name in zip(g_g, g_s, ["xys", "conics", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6, err_msg=name)
 
 
 class TestDensePallas:

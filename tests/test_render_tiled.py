@@ -35,12 +35,15 @@ class TestBinning:
         xy, cov, colors, opacity, H, W = make_scene(n=120, seed=3)
         proj = project_gaussians_2d_covariance(xy, cov, H, W)
         b1 = bin_gaussians(proj, H, W, cap=16, method="scatter")
-        b2 = bin_gaussians(proj, H, W, cap=16, method="top_k")
-        np.testing.assert_array_equal(np.asarray(b1.mask), np.asarray(b2.mask))
-        np.testing.assert_array_equal(
-            np.asarray(b1.ids)[np.asarray(b1.mask)],
-            np.asarray(b2.ids)[np.asarray(b2.mask)])
-        np.testing.assert_array_equal(np.asarray(b1.count), np.asarray(b2.count))
+        for method in ("top_k", "rank"):
+            b2 = bin_gaussians(proj, H, W, cap=16, method=method)
+            np.testing.assert_array_equal(np.asarray(b1.mask),
+                                          np.asarray(b2.mask), err_msg=method)
+            np.testing.assert_array_equal(
+                np.asarray(b1.ids)[np.asarray(b1.mask)],
+                np.asarray(b2.ids)[np.asarray(b2.mask)], err_msg=method)
+            np.testing.assert_array_equal(np.asarray(b1.count),
+                                          np.asarray(b2.count), err_msg=method)
 
     def test_against_bruteforce(self):
         xy, cov, colors, opacity, H, W = make_scene(n=50, seed=4)
@@ -67,7 +70,7 @@ class TestBinning:
         from gaussianimage_plus_tpu.core import tile_membership
         member = np.asarray(tile_membership(proj, H, W))
         cap = 16
-        for method in ("top_k", "scatter"):
+        for method in ("top_k", "scatter", "rank"):
             bins = bin_gaussians(proj, H, W, cap=cap, method=method)
             ids, mask = np.asarray(bins.ids), np.asarray(bins.mask)
             count = np.asarray(bins.count)
