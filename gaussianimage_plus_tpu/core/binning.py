@@ -184,6 +184,64 @@ def bin_gaussian_rows(proj: Projected, H: int, W: int, tile_start,
     return _select_members(member, cap, method)
 
 
+def bin_gaussian_rows_hier(proj: Projected, H: int, W: int, tile_start,
+                           n_tiles: int, cap: int = 256,
+                           block_h: int = BLOCK_H, block_w: int = BLOCK_W,
+                           band_rows: int = 4,
+                           super_cap: int = 0) -> TileBins:
+    """Two-level ``bin_gaussian_rows``: the hier scheme composed with tile
+    sharding (the r2 verdict's missing composition, sharded.py fell back to
+    flat per-shard binning).
+
+    Level 1 bins Gaussians into full-width bands of ``band_rows`` tile rows
+    covering the shard's flat range (band origin may be traced — a shard
+    offset from ``lax.axis_index``); level 2 tests each of the shard's tiles
+    only against its band's ``super_cap`` candidates. Identical
+    ids/mask/count to ``bin_gaussian_rows`` whenever no band overflows
+    (``super_overflow`` reports drops, same policy as ``_bin_hier``); work is
+    O(B*N + n_tiles*super_cap) instead of O(n_tiles*N)."""
+    tb = tile_bounds_for(H, W, block_h, block_w)
+    tb_x, tb_y = tb
+    N = proj.xys.shape[0]
+    super_cap = min(super_cap or max(4 * cap, 512), N)
+
+    xmin, xmax, ymin, ymax = tile_bbox(
+        proj.xys, proj.radii.astype(jnp.float32), tb, block_h, block_w)
+
+    # static band count covering every y-row the shard's flat range can touch
+    rows_max = (n_tiles - 1) // tb_x + 2
+    B = rows_max // band_rows + 2
+    b_first = (tile_start // tb_x) // band_rows
+    b_idx = b_first + jnp.arange(B, dtype=jnp.int32)           # [B]
+    band_y0 = b_idx * band_rows
+    band_y1 = band_y0 + band_rows
+
+    # ---- level 1: band membership (y-interval overlap) + compaction ----
+    in_y = (ymin[None, :] < band_y1[:, None]) & (ymax[None, :] > band_y0[:, None])
+    in_grid = (band_y0 < tb_y)[:, None]
+    member1 = in_y & in_grid & proj.valid[None, :]             # [B, N]
+    s_count = jnp.sum(member1, axis=1, dtype=jnp.int32)
+    overflow = jnp.sum(jnp.maximum(s_count - super_cap, 0))
+    cand = _select_members(member1, super_cap, "top_k")
+
+    c_xmin, c_xmax = xmin[cand.ids], xmax[cand.ids]            # [B, super_cap]
+    c_ymin, c_ymax = ymin[cand.ids], ymax[cand.ids]
+
+    # ---- level 2: each local tile vs its band's candidates ----
+    t = tile_start + jnp.arange(n_tiles, dtype=jnp.int32)
+    tx, ty = t % tb_x, t // tb_x
+    b_of_t = jnp.clip(ty // band_rows - b_first, 0, B - 1)     # [n_tiles]
+    in_x2 = (tx[:, None] >= c_xmin[b_of_t]) & (tx[:, None] < c_xmax[b_of_t])
+    in_y2 = (ty[:, None] >= c_ymin[b_of_t]) & (ty[:, None] < c_ymax[b_of_t])
+    in_grid2 = (t < tb_x * tb_y)[:, None]
+    member2 = in_x2 & in_y2 & cand.mask[b_of_t] & in_grid2     # [n_tiles, sc]
+    sel = _select_members(member2, cap, "top_k")
+    ids = cand.ids[b_of_t[:, None], sel.ids]                   # both levels
+    ids = jnp.where(sel.mask, ids, 0)                          # id-ordered
+    return TileBins(ids=ids, mask=sel.mask, count=sel.count,
+                    super_overflow=overflow)
+
+
 def _select_members(member: jax.Array, cap: int, method: str) -> TileBins:
     T, N = member.shape
     count_all = jnp.sum(member, axis=1, dtype=jnp.int32)

@@ -243,7 +243,7 @@ def make_tile_sharded_render(mesh: Mesh, cfg: GaussianConfig,
     best-snapshot, grow/prune — runs unchanged on top.
     """
     from jax import shard_map
-    from ..core.binning import bin_gaussian_rows
+    from ..core.binning import bin_gaussian_rows, bin_gaussian_rows_hier
     from ..core.gaussian2d import tile_bounds_for
     from ..core.render_tiled import _tiles_to_image
 
@@ -251,17 +251,30 @@ def make_tile_sharded_render(mesh: Mesh, cfg: GaussianConfig,
     T = tb_x * tb_y
     n_dev = mesh.shape[axis]
     n_local = -(-T // n_dev)
-    # per-shard row binning is already 1/n_shards of the work; the pallas and
-    # hier methods don't apply to row ranges — fall back to top_k selection
+    # hier composed with sharding: row-band super-tiles restricted to the
+    # shard's rows (bin_gaussian_rows_hier) — O(B*N + n_local*super_cap)
+    # per shard instead of O(n_local*N). Same size threshold as the
+    # unsharded 'auto' (per-shard work this time); 'pallas' has no row-range
+    # variant and falls back to flat top_k.
+    N_pts = cfg.max_num_points
+    use_hier = (cfg.bin_method == "hier"
+                or (cfg.bin_method == "auto"
+                    and n_local * N_pts > 32_000_000))
     bin_method = ("top_k" if cfg.bin_method in ("pallas", "hier", "auto")
                   else cfg.bin_method)
 
     def body(params, active, bound):
         proj = project(params, active, bound, cfg)
         start = jax.lax.axis_index(axis) * n_local
-        bins = bin_gaussian_rows(proj, cfg.H, cfg.W, start, n_local,
-                                 cap=cfg.tile_cap, block_h=cfg.block_h,
-                                 block_w=cfg.block_w, method=bin_method)
+        if use_hier:
+            bins = bin_gaussian_rows_hier(proj, cfg.H, cfg.W, start, n_local,
+                                          cap=cfg.tile_cap,
+                                          block_h=cfg.block_h,
+                                          block_w=cfg.block_w)
+        else:
+            bins = bin_gaussian_rows(proj, cfg.H, cfg.W, start, n_local,
+                                     cap=cfg.tile_cap, block_h=cfg.block_h,
+                                     block_w=cfg.block_w, method=bin_method)
         colors = colors_of(params, cfg)
         opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)
         tiles = _raster_tiles_local(proj.xys, proj.conics, colors, opacity,

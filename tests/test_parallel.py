@@ -96,6 +96,23 @@ class TestTileSharded:
 
     @needs_devices
     @pytest.mark.parametrize("H,W", [(32, 64), (30, 52)])
+    def test_render_matches_unsharded_hier(self, H, W):
+        """Sharded render with the row-band hier binner (the 2K composition,
+        bin_gaussian_rows_hier) == unsharded render."""
+        import dataclasses
+        cfg, _, _ = tiny_setup(H=H, W=W)
+        cfg = dataclasses.replace(cfg, bin_method="hier")
+        mesh = make_mesh((4,), ("tile",))
+        state = init_state(cfg, 32, jax.random.PRNGKey(2))
+        render_fn = make_tile_sharded_render(mesh, cfg, axis="tile")
+        img_s = jax.jit(lambda s: render_fn(s, cfg))(state)
+        img_r = jax.jit(lambda s: render(
+            s, dataclasses.replace(cfg, bin_method="top_k")))(state)
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_r),
+                                   atol=1e-5)
+
+    @needs_devices
+    @pytest.mark.parametrize("H,W", [(32, 64), (30, 52)])
     def test_full_chunk_parity_with_grow_prune(self, H, W):
         """Tile-sharded train_chunk (grow + prune + best snapshot) must track
         the unsharded chunk, including covariance gradients (the halved-c2

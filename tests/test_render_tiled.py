@@ -218,6 +218,55 @@ class TestNdChannels:
         assert g.shape == colors.shape and np.isfinite(np.asarray(g)).all()
 
 
+class TestRowsHierBinning:
+    def test_matches_flat_rows(self):
+        """bin_gaussian_rows_hier == bin_gaussian_rows over assorted
+        contiguous flat ranges (incl. mid-row starts, ranges past the grid
+        end, and single-row shards)."""
+        from gaussianimage_plus_tpu.core.binning import (
+            bin_gaussian_rows, bin_gaussian_rows_hier)
+        from gaussianimage_plus_tpu.core import project_gaussians_2d_covariance
+
+        xy, cov, colors, opacity, H, W = make_scene(n=150, seed=41)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        T = (-(-H // 16)) * (-(-W // 16))
+        for start, n_tiles in [(0, T), (3, 7), (5, 10), (T - 4, 8), (0, 5),
+                               (8, T - 8)]:
+            flat = bin_gaussian_rows(proj, H, W, start, n_tiles, cap=16)
+            hier = bin_gaussian_rows_hier(proj, H, W, start, n_tiles, cap=16,
+                                          band_rows=2, super_cap=256)
+            assert int(hier.super_overflow) == 0
+            np.testing.assert_array_equal(
+                np.asarray(flat.mask), np.asarray(hier.mask),
+                err_msg=f"mask start={start} n={n_tiles}")
+            np.testing.assert_array_equal(
+                np.asarray(flat.ids)[np.asarray(flat.mask)],
+                np.asarray(hier.ids)[np.asarray(hier.mask)],
+                err_msg=f"ids start={start} n={n_tiles}")
+            np.testing.assert_array_equal(
+                np.asarray(flat.count), np.asarray(hier.count),
+                err_msg=f"count start={start} n={n_tiles}")
+
+    def test_traced_start(self):
+        """tile_start may be a traced scalar (a shard offset)."""
+        from gaussianimage_plus_tpu.core.binning import (
+            bin_gaussian_rows, bin_gaussian_rows_hier)
+        from gaussianimage_plus_tpu.core import project_gaussians_2d_covariance
+
+        xy, cov, colors, opacity, H, W = make_scene(n=80, seed=42)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        f = jax.jit(lambda s: bin_gaussian_rows_hier(
+            proj, H, W, s, 6, cap=16, band_rows=2, super_cap=128))
+        for start in (0, 4, 9):
+            hier = f(jnp.asarray(start, jnp.int32))
+            flat = bin_gaussian_rows(proj, H, W, start, 6, cap=16)
+            np.testing.assert_array_equal(np.asarray(flat.mask),
+                                          np.asarray(hier.mask))
+            np.testing.assert_array_equal(
+                np.asarray(flat.ids)[np.asarray(flat.mask)],
+                np.asarray(hier.ids)[np.asarray(hier.mask)])
+
+
 class TestHierBinning:
     def test_matches_flat_various_grids(self):
         """Two-level binning must equal flat binning exactly (ids, mask,
