@@ -162,16 +162,25 @@ def main():
     decode_parity = float(_jnp.max(_jnp.abs(img_f - img_d)))
 
     # ---- train-step throughput (fwd+bwd+adam), chunked like production ----
+    # Marginal two-length protocol here too: per-dispatch overhead through
+    # the relay varies 0.1-3.4 s, so a 3-dispatch average is dominated by
+    # dispatch noise (r2's bench read 16-29 ms/step for a 10.3 ms step).
     ts = init_train_state(cfg, tcfg, N, seed=0)
-    chunk = 100
-    ts, _ = train_chunk(ts, gt_j, cfg, tcfg, chunk, True, False)
+    ts, _ = train_chunk(ts, gt_j, cfg, tcfg, 100, True, False)
     _ = np.asarray(ts.gaussians.params.xyz)
-    t0 = time.perf_counter()
-    n_chunks = 3
-    for _ in range(n_chunks):
-        ts, _ = train_chunk(ts, gt_j, cfg, tcfg, chunk, True, False)
-    _ = np.asarray(ts.gaussians.params.xyz)
-    dt_step = (time.perf_counter() - t0) / (n_chunks * chunk)
+    times = {}
+    for n in (20, 120):
+        best = float("inf")
+        ts_n, _ = train_chunk(ts, gt_j, cfg, tcfg, n, False, False)  # compile
+        _ = np.asarray(ts_n.gaussians.params.xyz)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ts_n, _ = train_chunk(ts, gt_j, cfg, tcfg, n, False, False)
+            _ = np.asarray(ts_n.gaussians.params.xyz)
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    delta = times[120] - times[20]
+    dt_step = delta / 100 if delta > 0.005 else times[120] / 120
     mpix_s = H * W / dt_step / 1e6
 
     out = {

@@ -1,0 +1,112 @@
+"""2K (DIV2K-scale) end-to-end fit — VERDICT r2 item 4.
+
+The real DIV2K_valid_HR images (reference train.py:287-300) are absent from
+this environment; the stand-in is a 2040x1344 mosaic of Kodak crops with
+flips (same resolution class as DIV2K, non-periodic). Fits the full
+reference recipe at this scale with the auto (hier) binner and a 2K-safe
+dispatch bound, then evaluates PSNR/MS-SSIM.
+
+--mode sharded_cpu runs the SAME config through fit_image_tile_sharded on
+the 8-device virtual CPU mesh for a short parity cross-check (psnr@n_iters
+must track the TPU/unsharded trajectory).
+
+Usage:
+  python scripts/fit_2k.py                         # TPU, 10k iters (~15 min)
+  python scripts/fit_2k.py --mode sharded_cpu --iterations 100
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_mosaic(H=1344, W=2040) -> np.ndarray:
+    from gaussianimage_plus_tpu.utils.image_io import load_image
+
+    base = load_image("/root/reference/datasets/kodak/kodim01.png")  # 512x768
+    b2 = load_image("/root/reference/datasets/kodak/kodim05.png")
+    tiles = []
+    for r in range(3):
+        row = []
+        for c in range(3):
+            img = base if (r + c) % 2 == 0 else b2
+            if r % 2:
+                img = img[::-1]
+            if c % 2:
+                img = img[:, ::-1]
+            row.append(img)
+        tiles.append(np.concatenate(row, axis=1))
+    big = np.concatenate(tiles, axis=0)          # 1536 x 2304
+    return np.ascontiguousarray(big[:H, :W])
+
+
+def main(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["tpu", "sharded_cpu"], default="tpu")
+    p.add_argument("--iterations", type=int, default=10000)
+    p.add_argument("--num_points", type=int, default=10000)
+    p.add_argument("--max_num_points", type=int, default=20000)
+    p.add_argument("--tile_cap", type=int, default=256)
+    p.add_argument("--max_dispatch_steps", type=int, default=200,
+                   help="2K steps are ~50-100 ms; keep single executions "
+                        "well under the 60 s worker kill")
+    p.add_argument("--ckpt_dir", default="results/ckpt2k")
+    p.add_argument("--out", default="results/fit2k_r3.json")
+    args = p.parse_args(argv)
+
+    if args.mode == "sharded_cpu":
+        import os
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+    import jax
+    if args.mode == "sharded_cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gaussianimage_plus_tpu.models import GaussianConfig
+    from gaussianimage_plus_tpu.train import TrainConfig, evaluate, fit_image
+
+    gt = build_mosaic()
+    H, W = gt.shape[:2]
+    cfg = GaussianConfig(H=H, W=W, max_num_points=args.max_num_points,
+                         tile_cap=args.tile_cap)
+    tcfg = TrainConfig(iterations=args.iterations, lr=0.018,
+                       max_dispatch_steps=args.max_dispatch_steps)
+
+    t0 = time.time()
+    if args.mode == "sharded_cpu":
+        from gaussianimage_plus_tpu.parallel import (fit_image_tile_sharded,
+                                                     make_mesh)
+        mesh = make_mesh((8,), ("tile",))
+        res = fit_image_tile_sharded(gt, cfg, tcfg,
+                                     num_points=args.num_points, mesh=mesh,
+                                     seed=3047,
+                                     log_every=max(100, args.iterations // 10))
+    else:
+        res = fit_image(gt, cfg, tcfg, num_points=args.num_points, seed=3047,
+                        log_every=1000, checkpoint_dir=args.ckpt_dir,
+                        checkpoint_every=2000, resume=True)
+    wall = time.time() - t0
+    ev = evaluate(res.state, gt, cfg, n_renders=20)
+    rec = {"mode": args.mode, "resolution": f"{W}x{H}",
+           "iterations": args.iterations, "best_psnr": res.best_psnr,
+           "best_iter": res.best_iter, "psnr": ev["psnr"],
+           "ms_ssim": ev["ms_ssim"], "num_points": ev["num_points"],
+           "train_time": res.train_time, "wall": wall,
+           "ms_per_step": res.train_time * 1e3 / args.iterations,
+           "psnr_at_100": float(np.asarray(res.history["psnr"][:100]).max())}
+    print(json.dumps(rec), flush=True)
+    if args.mode == "tpu":
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
