@@ -111,6 +111,40 @@ def test_rejects_garbage():
         deserialize_bitstream(b"NOPE" + b"\x00" * 64)
 
 
+def test_truncation_fuzz_raises_not_crashes():
+    """Every truncation of a valid artifact must raise a Python error
+    (ValueError from validation, or struct/IndexError at the fixed header) —
+    never reach the native rANS decoder with inconsistent sizes (ADVICE r2
+    medium: malformed .gipb input)."""
+    qcfg = QuantConfig(decode_cap=32)
+    cfg, state, bundle, enc = fitted(qcfg)
+    data = serialize_bitstream(bundle, enc, cfg, qcfg)
+    for cut in range(4, len(data) - 1, max(1, len(data) // 64)):
+        with pytest.raises((ValueError, IndexError, Exception)) as ei:
+            deserialize_bitstream(data[:cut])
+        assert not isinstance(ei.value, (SystemError, MemoryError)), \
+            f"cut={cut}: {type(ei.value)}"
+
+
+def test_corruption_fuzz_no_native_crash():
+    """Random single-byte corruptions must either raise ValueError or decode
+    to SOME array — the process must never crash or allocate absurdly."""
+    qcfg = QuantConfig(decode_cap=32)
+    cfg, state, bundle, enc = fitted(qcfg)
+    data = bytearray(serialize_bitstream(bundle, enc, cfg, qcfg))
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        i = int(rng.integers(4, len(data)))
+        orig = data[i]
+        data[i] = int(rng.integers(0, 256))
+        try:
+            deserialize_bitstream(bytes(data))
+        except (ValueError, IndexError, KeyError):
+            pass
+        finally:
+            data[i] = orig
+
+
 def test_gaussian_stream_decode_is_erf_independent(monkeypatch):
     """v2 ships the rANS counts table, so decoding must NOT depend on the
     decoder's libm erf (a 1-ulp erf difference on another platform would
