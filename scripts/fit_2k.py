@@ -101,6 +101,10 @@ def main(argv):
            "ms_ssim": ev["ms_ssim"], "num_points": ev["num_points"],
            "train_time": res.train_time, "wall": wall,
            "ms_per_step": res.train_time * 1e3 / args.iterations,
+           # early-trajectory markers: the sharded_cpu cross-check compares
+           # these against the TPU run (same seed/recipe; platform numerics
+           # differ only in the last ulps, so they must agree to ~0.01 dB)
+           "psnr_at_12": float(np.asarray(res.history["psnr"][:12]).max()),
            "psnr_at_100": float(np.asarray(res.history["psnr"][:100]).max())}
     print(json.dumps(rec), flush=True)
     if args.mode == "tpu":
