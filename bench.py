@@ -161,7 +161,8 @@ def main():
     kernel_parity = float(_jnp.max(_jnp.abs(img_p - img_x)))
     decode_parity = float(_jnp.max(_jnp.abs(img_f - img_d)))
 
-    # ---- train-step throughput (fwd+bwd+adam), chunked like production ----
+    # ---- train-step throughput (fwd+bwd+adam; excludes the 1-per-100-step
+    # prune, which cancels out of the marginal delta anyway) ----
     # Marginal two-length protocol here too: per-dispatch overhead through
     # the relay varies 0.1-3.4 s, so a 3-dispatch average is dominated by
     # dispatch noise (r2's bench read 16-29 ms/step for a 10.3 ms step).
@@ -195,6 +196,7 @@ def main():
         "vs_baseline_full": round(fps_full / 2000.0, 4),
         "train_mpixels_per_s": round(mpix_s, 2),
         "train_step_ms": round(dt_step * 1e3, 3),
+        "train_step_scope": "fwd+bwd+adam (marginal; excludes 1-per-100 prune)",
         "render_ms": round(dt_render * 1e3, 3),
         "pallas_vs_xla_maxdiff": kernel_parity,
         "prepared_vs_full_decode_maxdiff": decode_parity,

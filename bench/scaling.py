@@ -33,6 +33,14 @@ def main(argv=None):
                    help="force the CPU backend (the JAX_PLATFORMS env var is "
                         "overridden by this machine's sitecustomize; only an "
                         "in-process config update sticks)")
+    p.add_argument("--curve", action="store_true",
+                   help="sweep the data-parallel shard_map program over "
+                        "1..ndev-device submeshes and record steps/s/device "
+                        "— the scaling-efficiency curve (on CPU virtual "
+                        "devices the submeshes share physical cores, so the "
+                        "curve is a lower bound on real-chip efficiency)")
+    p.add_argument("--out", default=None,
+                   help="also write the emitted JSON records to this file")
     args = p.parse_args(argv)
 
     import jax
@@ -72,6 +80,12 @@ def main(argv=None):
     def sync(x):
         return np.asarray(jax.tree.leaves(x)[0])[0]
 
+    records = []
+
+    def emit(rec):
+        records.append(rec)
+        print(json.dumps(rec))
+
     # --- 1 device, 1 image ---
     ts = init_train_state(cfg, tcfg, N, 0)
     ts, _ = train_chunk(ts, gt, cfg, tcfg, steps, True, False)
@@ -81,8 +95,8 @@ def main(argv=None):
     sync(ts.gaussians.params.xyz)
     base = (time.perf_counter() - t0) / steps
     base_mpix = H * W / base / 1e6
-    print(json.dumps({"config": "1dev_1img", "ms_per_step": round(base * 1e3, 2),
-                      "mpix_s": round(base_mpix, 1)}))
+    emit({"config": "1dev_1img", "ms_per_step": round(base * 1e3, 2),
+          "mpix_s": round(base_mpix, 1)})
 
     if ndev > 1:
         mesh = make_mesh((ndev,), ("data",))
@@ -99,10 +113,9 @@ def main(argv=None):
             sync(tss.gaussians.params.xyz)
             dt = (time.perf_counter() - t0) / steps
             agg = ndev * H * W / dt / 1e6
-            print(json.dumps({
-                "config": label, "ms_per_step": round(dt * 1e3, 2),
-                "aggregate_mpix_s": round(agg, 1),
-                "scaling_efficiency": round(agg / (base_mpix * ndev), 3)}))
+            emit({"config": label, "ms_per_step": round(dt * 1e3, 2),
+                  "aggregate_mpix_s": round(agg, 1),
+                  "scaling_efficiency": round(agg / (base_mpix * ndev), 3)})
 
         run_dp(f"{ndev}dev_dp_vmap",
                lambda tss, g: batch_train_chunk(tss, g, cfg, tcfg, steps,
@@ -123,9 +136,48 @@ def main(argv=None):
                              render_fn=render_fn)
         sync(ts2.gaussians.params.xyz)
         dt = (time.perf_counter() - t0) / steps
-        print(json.dumps({"config": f"{ndev}dev_tile_sharded",
-                          "ms_per_step": round(dt * 1e3, 2),
-                          "mpix_s": round(H * W / dt / 1e6, 1)}))
+        emit({"config": f"{ndev}dev_tile_sharded",
+              "ms_per_step": round(dt * 1e3, 2),
+              "mpix_s": round(H * W / dt / 1e6, 1)})
+
+    if args.curve and ndev > 1:
+        # DP scaling-efficiency curve over 1..ndev-device submeshes: each
+        # point runs the shard_map per-device-unbatched chunk with one image
+        # per device (the pod-scale fit_global_batch program) and records
+        # steps/s/device normalized to the 1-device point.
+        from jax.sharding import Mesh
+        curve = []
+        per_dev_base = None
+        k = 1
+        while k <= ndev:
+            submesh = Mesh(np.asarray(jax.devices()[:k]), ("data",))
+            tss = init_batch_train_state(cfg, tcfg, N, k)
+            tss = shard_batch(tss, submesh)
+            gts_k = shard_batch(jnp.tile(gt[None], (k, 1, 1, 1)), submesh)
+            run = lambda t: batch_train_chunk_dp(t, gts_k, cfg, tcfg, steps,
+                                                 True, False, False, submesh)
+            tss2 = run(tss)[0]
+            sync(tss2.gaussians.params.xyz)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                tss2 = run(tss)[0]
+                sync(tss2.gaussians.params.xyz)
+                best = min(best, time.perf_counter() - t0)
+            sps_dev = steps / best  # global steps/s == per-device steps/s
+            if per_dev_base is None:
+                per_dev_base = sps_dev
+            curve.append({"devices": k,
+                          "steps_per_s_per_device": round(sps_dev, 3),
+                          "efficiency_vs_1dev": round(sps_dev / per_dev_base, 3)})
+            k *= 2
+        emit({"config": "dp_curve", "platform": jax.default_backend(),
+              "operating_point": f"{H}x{W} N={N}", "curve": curve})
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

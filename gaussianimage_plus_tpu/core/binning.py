@@ -252,8 +252,10 @@ def _select_members(member: jax.Array, cap: int, method: str) -> TileBins:
         # row is the first n where the inclusive membership cumsum reaches
         # s+1 — a batched binary search over the nondecreasing rank rows.
         # O(T*(N + cap*log N)) gathers instead of top_k's per-row partial
-        # sort; measured 2-3x faster than lax.top_k at the Kodak operating
-        # point on v5e (see EXPERIMENTS.md round-3 breakdown).
+        # sort — but measured SLOWER than lax.top_k on v5e at the Kodak
+        # operating point (58.9 vs 12.4 ms/step, EXPERIMENTS.md round-3
+        # A/B): the gather chain doesn't vectorize as well as XLA's fused
+        # top_k. Kept as an exact option only; 'top_k' is the default.
         rank = jnp.cumsum(member, axis=1, dtype=jnp.int32)      # [T, N]
         k_eff = min(cap, N)
         targets = jnp.arange(1, k_eff + 1, dtype=jnp.int32)[None, :]

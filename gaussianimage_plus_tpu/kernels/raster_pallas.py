@@ -332,20 +332,24 @@ def _raster_pallas_fwd_impl(xys, conics, colors, opacity, ids, mask,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def rasterize_pallas(xys, conics, colors, opacity, ids, mask, radii,
                      H: int, W: int, block_h: int = BLOCK_H,
-                     block_w: int = BLOCK_W, gather_tiles: int = 64):
+                     block_w: int = BLOCK_W, gather_tiles: int = 0):
     """Drop-in replacement for core.render_tiled.rasterize_tiled backed by
     fused Pallas kernels. Identical semantics and gradient conventions.
 
     ``radii`` ([N] int32 bounding radii from projection, or None) +
     ``gather_tiles`` enable the inverse-map gradient accumulation: the
     backward gathers each Gaussian's per-tile gradient payload from its
-    (bbox-enumerated) tiles instead of scatter-adding all T*K slots —
-    measured ~4x cheaper on v5e, exact (the reference's warpSum+atomicAdd,
-    backward.cu:1330-1344, is the scatter formulation). ``gather_tiles`` is
-    the static per-Gaussian tile budget; if any Gaussian's bbox exceeds it
-    the whole accumulation falls back to the scatter path in-graph
-    (lax.cond), so the result is exact for every state. Pass radii=None or
-    gather_tiles=0 to always scatter."""
+    (bbox-enumerated) tiles instead of scatter-adding all T*K slots (the
+    reference's warpSum+atomicAdd, backward.cu:1330-1344, is the scatter
+    formulation). Exact, but measured ~3x SLOWER than the occupancy-adaptive
+    scatter tiers on v5e at the Kodak operating point (33.8 vs 10.34
+    ms/step, EXPERIMENTS.md round-3 A/B) — kept as an option; the ~4x win
+    lives in the scatter tiers themselves (`_scatter_accumulate`).
+    ``gather_tiles`` is the static per-Gaussian tile budget; if any
+    Gaussian's bbox exceeds it the whole accumulation falls back to the
+    scatter path in-graph (lax.cond), so the result is exact for every
+    state. The default (0) scatters — matching GaussianConfig's
+    grad_gather_tiles=0 and the measured-fastest path."""
     return _raster_pallas_fwd_impl(xys, conics, colors, opacity, ids, mask,
                                    H, W, block_h, block_w)
 

@@ -52,25 +52,44 @@ def shard_global_batch(local_images: np.ndarray, mesh: Mesh,
 
 
 def fit_global_batch(local_images, cfg, tcfg, num_points: int,
-                     seed: int = 3047, progress=None):
+                     seed: int = 3047, progress=None, axis: str = "data"):
     """Distributed analog of parallel.fit_batch: the global batch axis spans
-    every device in the pod slice."""
-    from .sharded import batch_train_chunk, init_batch_train_state, shard_batch
+    every device in the pod slice.
 
-    mesh = global_mesh()
+    Uses the shard_map per-device-unbatched chunk (``batch_train_chunk_dp``)
+    whenever the global batch divides the device count — the vmapped chunk
+    costs ~5x per image (see ``batch_train_chunk_dp``'s docstring) and must
+    never be the pod-scale default."""
+    from .sharded import (batch_train_chunk, batch_train_chunk_dp,
+                          init_batch_train_state, shard_batch)
+
+    mesh = global_mesh(axis)
     n_local = np.asarray(local_images).shape[0]
     n_global = n_local * jax.process_count()
     tss = init_batch_train_state(cfg, tcfg, num_points, n_global, seed)
-    tss = shard_batch(tss, mesh)
-    images = shard_global_batch(np.asarray(local_images), mesh)
+    tss = shard_batch(tss, mesh, axis)
+    images = shard_global_batch(np.asarray(local_images), mesh, axis)
+    use_dp = n_global % mesh.shape[axis] == 0
+    if not use_dp:
+        import warnings
+
+        warnings.warn(
+            f"fit_global_batch: global batch {n_global} not divisible by "
+            f"{mesh.shape[axis]} devices; falling back to the vmapped chunk "
+            f"(~5x per-image overhead).", stacklevel=2)
     chunk = tcfg.prune_iter
     for ci in range(tcfg.iterations // chunk):
         it_end = (ci + 1) * chunk
         do_grow = (tcfg.adaptive_add and it_end % tcfg.grow_iter == 0
                    and it_end < tcfg.iterations)
         final_fill = it_end == tcfg.iterations - tcfg.grow_iter
-        tss, m = batch_train_chunk(tss, images, cfg, tcfg, chunk,
-                                   tcfg.prune, do_grow, final_fill)
+        if use_dp:
+            tss, m = batch_train_chunk_dp(tss, images, cfg, tcfg, chunk,
+                                          tcfg.prune, do_grow, final_fill,
+                                          mesh, axis)
+        else:
+            tss, m = batch_train_chunk(tss, images, cfg, tcfg, chunk,
+                                       tcfg.prune, do_grow, final_fill)
         if progress is not None:
             progress(it_end, m)
     return tss

@@ -223,7 +223,8 @@ def image_to_tile_rows(gt: jax.Array, cfg: GaussianConfig) -> jax.Array:
 
 
 def make_tile_sharded_render(mesh: Mesh, cfg: GaussianConfig,
-                             axis: str = "tile"):
+                             axis: str = "tile", super_cap: int = 0,
+                             check_overflow: bool = False):
     """Build ``render_fn(state, cfg) -> [H, W, 3]`` with the tile grid
     sharded over mesh axis ``axis``.
 
@@ -241,6 +242,14 @@ def make_tile_sharded_render(mesh: Mesh, cfg: GaussianConfig,
     Plug the result into ``train_step``/``train_chunk``/``fit_image`` via
     their ``render_fn`` argument: the full trainer — loss library, PSNR
     best-snapshot, grow/prune — runs unchanged on top.
+
+    ``super_cap``: per-row-band candidate budget for the hier binner
+    (0 = its ``max(4*cap, 512)`` default). A dense full-width band at 2K+
+    scale can exceed the default and silently drop candidates (hier's
+    documented cap policy) — raise it when n_local*N is large.
+    ``check_overflow=True`` additionally psums the hier binner's
+    ``super_overflow`` each render and prints a loud warning from the
+    device when it is nonzero (debug runs; ~free when zero).
     """
     from jax import shard_map
     from ..core.binning import bin_gaussian_rows, bin_gaussian_rows_hier
@@ -270,7 +279,19 @@ def make_tile_sharded_render(mesh: Mesh, cfg: GaussianConfig,
             bins = bin_gaussian_rows_hier(proj, cfg.H, cfg.W, start, n_local,
                                           cap=cfg.tile_cap,
                                           block_h=cfg.block_h,
-                                          block_w=cfg.block_w)
+                                          block_w=cfg.block_w,
+                                          super_cap=super_cap)
+            if check_overflow:
+                ovf = jax.lax.psum(bins.super_overflow, axis)
+
+                def _warn(o):
+                    if int(o) > 0:
+                        print(f"WARNING: hier super-tile overflow: {int(o)} "
+                              f"candidates dropped across the mesh — the "
+                              f"sharded render diverges from the exact flat "
+                              f"binning; raise super_cap", flush=True)
+
+                jax.debug.callback(_warn, ovf)
         else:
             bins = bin_gaussian_rows(proj, cfg.H, cfg.W, start, n_local,
                                      cap=cfg.tile_cap, block_h=cfg.block_h,
@@ -295,7 +316,8 @@ def make_tile_sharded_render(mesh: Mesh, cfg: GaussianConfig,
 
 def fit_image_tile_sharded(gt, cfg: GaussianConfig, tcfg: TrainConfig,
                            num_points: int, mesh: Optional[Mesh] = None,
-                           axis: str = "tile", **kwargs):
+                           axis: str = "tile", super_cap: int = 0,
+                           check_overflow: bool = False, **kwargs):
     """`train.fit_image` with the rasterizer sharded over a device mesh —
     the scale-out path for images whose tile grid exceeds one device's
     comfort (DIV2K 2K and beyond). Full trainer semantics (losses,
@@ -304,5 +326,6 @@ def fit_image_tile_sharded(gt, cfg: GaussianConfig, tcfg: TrainConfig,
 
     if mesh is None:
         mesh = make_mesh(axis_names=(axis,))
-    render_fn = make_tile_sharded_render(mesh, cfg, axis)
+    render_fn = make_tile_sharded_render(mesh, cfg, axis, super_cap=super_cap,
+                                         check_overflow=check_overflow)
     return fit_image(gt, cfg, tcfg, num_points, render_fn=render_fn, **kwargs)

@@ -354,6 +354,18 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
             if log_every:
                 (logger.write if logger else print)(
                     f"resumed at iter {start_iter}")
+            if start_iter >= tcfg.iterations:
+                # completed run (the final checkpoint records
+                # next_iter == iterations): a retried sweep that crashed
+                # between fit completion and its result append lands here —
+                # return the fitted best instead of re-entering the (empty)
+                # schedule loop
+                best = restore_best(ts)
+                empty = jnp.zeros((0,), jnp.float32)
+                return FitResult(
+                    state=best, best_psnr=float(ts.best_psnr),
+                    best_iter=int(ts.best_iter), train_time=0.0,
+                    history={"loss": empty, "psnr": empty})
 
     # explicit dispatch schedule: grow periods split into <=MAX_MACRO_STEPS
     # sub-segments (grow fires only at the period's end, exactly as one big
@@ -422,10 +434,23 @@ def fit_image(gt: jax.Array, cfg: GaussianConfig, tcfg: TrainConfig,
                      history=history)
 
 
+# module-level so the trace/compile caches persist across images in sweeps
+@jax.jit
+def _eval_metrics(a, b):
+    return psnr_fn(a, b), ms_ssim(a, b)
+
+
 def evaluate(state: GaussianState, gt: jax.Array, cfg: GaussianConfig,
              n_renders: int = 100, fast: bool = False,
              lpips_weights: Optional[str] = None) -> dict:
-    """Reference eval protocol (train.py:178-191): 1 warmup + n timed renders.
+    """Reference eval protocol (train.py:178-191): n timed renders + metrics.
+
+    The n renders run as ONE in-graph chained ``lax.scan`` per timing call
+    (each render's input depends on the previous output so the runtime
+    can't coalesce them), timed with the two-length marginal protocol —
+    per-dispatch overhead through the remote relay is 0.1-3.4 s, so the
+    reference's 100-individual-dispatch loop costs ~60 s/image of pure
+    dispatch in sweeps and times the relay, not the render.
 
     ``fast=True`` uses the dense binning-free forward kernel (TPU only).
     ``lpips_weights``: path to an LPIPS-VGG weight .npz (train/lpips.py);
@@ -440,22 +465,45 @@ def evaluate(state: GaussianState, gt: jax.Array, cfg: GaussianConfig,
     else:
         _render = render
 
-    @jax.jit
-    def render_chained(s, fb):
-        s2 = s.replace(params=s.params.replace(xyz=s.params.xyz + fb))
-        img = _render(s2, cfg)
-        return img, img[0, 0, 0] * 1e-7
+    def render_scan_factory(n):
+        @jax.jit
+        def run(s, fb0):
+            def body(fb, _):
+                s2 = s.replace(params=s.params.replace(xyz=s.params.xyz + fb))
+                img = _render(s2, cfg)
+                return img[0, 0, 0] * 1e-7, None
 
-    out, fb = render_chained(state, jnp.zeros(()))
-    _ = _np.asarray(out)
-    t0 = time.perf_counter()
-    for _ in range(n_renders):
-        out, fb = render_chained(state, fb)
-    _ = _np.asarray(out)
-    dt = (time.perf_counter() - t0) / n_renders
+            fb, _ = jax.lax.scan(body, fb0, None, length=n)
+            s2 = s.replace(params=s.params.replace(xyz=s.params.xyz + fb))
+            img = _render(s2, cfg)
+            return img, img[0, 0, 0] * 1e-7
+
+        return run
+
+    n_small = max(1, n_renders // 5)
+    times = {}
+    fb_seed = 0.0
+    out = None
+    for n in ((n_small, n_renders) if n_renders > n_small else (n_renders,)):
+        f = render_scan_factory(n)
+        out, fb = f(state, jnp.zeros(()))          # compile + warm
+        _ = _np.asarray(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out, fb = f(state, jnp.asarray(fb_seed))
+            _ = _np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+            fb_seed += 1e-9
+        times[n] = best
+    if n_renders > n_small:
+        delta = times[n_renders] - times[n_small]
+        dt = (delta / (n_renders - n_small) if delta > 0.005
+              else times[n_renders] / (n_renders + 1))
+    else:
+        dt = times[n_renders] / (n_renders + 1)
     gt = jnp.asarray(gt)
-    metrics = jax.jit(lambda a, b: (psnr_fn(a, b), ms_ssim(a, b)))
-    psnr_v, msssim_v = metrics(out, gt)
+    psnr_v, msssim_v = _eval_metrics(out, gt)
     result = {
         "psnr": float(psnr_v),
         "ms_ssim": float(msssim_v),

@@ -39,6 +39,13 @@ def main(argv):
                         "artifacts that survive across rounds)")
     p.add_argument("--bitstream_dir", default="results/bitstreams")
     p.add_argument("--num_images", type=int, default=None)
+    p.add_argument("--images", default=None,
+                   help="comma-separated image stems (e.g. kodim01,kodim02) "
+                        "to restrict the sweep to")
+    p.add_argument("--color_quant", choices=["lsq", "vq"], default="lsq",
+                   help="color codec branch (reference --color_quant, "
+                        "quantize.py:261-333): 'lsq' = 6-bit learned uniform "
+                        "(default), 'vq' = residual VQ over RGB vectors")
     # 256 = the reference's own per-tile cap (forward.cu:673). 50k-trained
     # states reach occupancy 81-240 (measured across all 24 checkpoints), so
     # smaller caps CLIP: training exploits the clipping as free per-tile
@@ -100,6 +107,9 @@ def main(argv):
                 pass
 
     images = sorted(Path(args.dataset).glob("kodim*.png"))[: args.num_images]
+    if args.images:
+        keep = set(args.images.split(","))
+        images = [p for p in images if p.stem in keep]
     for img_path in images:
         name = img_path.stem
         if name in done:
@@ -115,7 +125,7 @@ def main(argv):
                              color_norm=args.color_norm)
         tcfg = TrainConfig(iterations=args.iterations, lr=0.018,
                            max_dispatch_steps=args.max_dispatch_steps)
-        qcfg = QuantConfig()
+        qcfg = QuantConfig(color_quant=args.color_quant)
 
         init_gs = None
         ckpt = os.path.join(args.repr_ckpt_dir, name, "fit_ckpt")

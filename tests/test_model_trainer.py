@@ -250,6 +250,27 @@ class TestFitResume:
                                    np.asarray(res_full.state.params.xyz),
                                    atol=1e-5)
 
+    def test_resume_on_completed_run_returns_fitted_result(self, tmp_path):
+        """fit_image(resume=True) on an already-COMPLETED run (the final
+        checkpoint records next_iter == iterations) must return the fitted
+        best instead of crashing — a watchdog-retried sweep that died between
+        fit completion and its JSONL append lands exactly here."""
+        from gaussianimage_plus_tpu.train.trainer import fit_image
+
+        cfg = small_cfg()
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.05)
+        gt = np.random.default_rng(5).uniform(
+            0, 1, (cfg.H, cfg.W, 3)).astype(np.float32)
+        ck = str(tmp_path / "ck")
+        res_full = fit_image(gt, cfg, tcfg, num_points=16, seed=9,
+                             checkpoint_dir=ck, checkpoint_every=100)
+        res_retry = fit_image(gt, cfg, tcfg, num_points=16, seed=9,
+                              checkpoint_dir=ck, resume=True)
+        assert res_retry.best_psnr == pytest.approx(res_full.best_psnr, abs=1e-6)
+        np.testing.assert_array_equal(np.asarray(res_retry.state.params.xyz),
+                                      np.asarray(res_full.state.params.xyz))
+        assert res_retry.history["psnr"].shape == (0,)
+
 
 class TestColorReg:
     def test_zero_reg_is_reference_parity(self):
