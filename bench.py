@@ -110,6 +110,17 @@ def main():
         img = decompress_wo_ec(bundle, e, state.bound, cfg, qcfg)
         return img, img[0, 0, 0] * 1e-7
 
+    # per-frame sweep decoder on the Morton-ordered stream (the artifact's
+    # own layout): dequantize + project + chunk-skip sweep render per frame
+    # — the same full-decode protocol, no binning machinery at all
+    from gaussianimage_plus_tpu.compress.pipeline import morton_reorder
+    enc_m, bound_m = morton_reorder(enc, state.bound, cfg)
+
+    def sweep_decode_chained(e, feedback):
+        e = e._replace(quant_means=e.quant_means + feedback)
+        img = decompress_wo_ec(bundle, e, bound_m, cfg, qcfg, backend="sweep")
+        return img, img[0, 0, 0] * 1e-7
+
     def make_scan_n(chained, n):
         @jax.jit
         def decode_n(e, fb0):
@@ -143,7 +154,11 @@ def main():
 
     dt_render = marginal_time(prep_decode_chained, prep, n_large=216)
     fps = 1.0 / dt_render
-    dt_full = marginal_time(decode_chained, enc)
+    dt_full_binned = marginal_time(decode_chained, enc)
+    dt_full_sweep = marginal_time(sweep_decode_chained, enc_m)
+    # decode_fps_full = best exact per-frame full decode (protocol honored
+    # by both; the sweep is the codec's own decoder design)
+    dt_full = min(dt_full_binned, dt_full_sweep)
     fps_full = 1.0 / dt_full
 
     # ---- on-hardware kernel parity: compiled Pallas vs XLA rasterizer ----
@@ -158,8 +173,11 @@ def main():
     img_f = jax.jit(lambda p: decode_frame(p, cfg))(prep)
     img_d = jax.jit(
         lambda e: decompress_wo_ec(bundle, e, state.bound, cfg, qcfg))(enc)
+    img_s = jax.jit(lambda e: decompress_wo_ec(bundle, e, bound_m, cfg, qcfg,
+                                               backend="sweep"))(enc_m)
     kernel_parity = float(_jnp.max(_jnp.abs(img_p - img_x)))
     decode_parity = float(_jnp.max(_jnp.abs(img_f - img_d)))
+    sweep_parity = float(_jnp.max(_jnp.abs(img_s - img_d)))
 
     # ---- train-step throughput (fwd+bwd+adam; excludes the 1-per-100-step
     # prune, which cancels out of the marginal delta anyway) ----
@@ -194,12 +212,15 @@ def main():
         # bin-once decoder (bins of a static stream are computed at load)
         "decode_fps_full": round(fps_full, 2),
         "vs_baseline_full": round(fps_full / 2000.0, 4),
+        "decode_fps_full_binned": round(1.0 / dt_full_binned, 2),
+        "decode_fps_full_sweep": round(1.0 / dt_full_sweep, 2),
         "train_mpixels_per_s": round(mpix_s, 2),
         "train_step_ms": round(dt_step * 1e3, 3),
         "train_step_scope": "fwd+bwd+adam (marginal; excludes 1-per-100 prune)",
         "render_ms": round(dt_render * 1e3, 3),
         "pallas_vs_xla_maxdiff": kernel_parity,
         "prepared_vs_full_decode_maxdiff": decode_parity,
+        "sweep_vs_full_decode_maxdiff": sweep_parity,
         "platform": jax.default_backend(),
         "image": f"{W}x{H}",
         "num_points": N,

@@ -377,25 +377,58 @@ def compress_wo_ec(bundle: QuantizerBundle, state: GaussianState,
                     num_active=jnp.sum(active, dtype=jnp.int32))
 
 
+def morton_reorder(enc: Encoding, bound: jax.Array,
+                   cfg: GaussianConfig) -> Tuple[Encoding, jax.Array]:
+    """Reorder an Encoding's Gaussian stream by the Morton code of each
+    center's tile (encoder-side layout; invalid rows last).
+
+    Accumulation blending is order-invariant, so the decoded image is
+    unchanged (bit-exact set of contributions); the payload bits permute but
+    the global entropy models see the same histograms, so the rate is
+    unchanged too. The point is the per-frame sweep decoder
+    (``backend='sweep'``): a spatially-contiguous stream lets its chunk skip
+    drop ~90% of the transcendental work."""
+    from ..core.binning import morton_perm
+
+    perm = morton_perm(enc.means, enc.active, cfg.H, cfg.W,
+                       cfg.block_h, cfg.block_w)
+    take = lambda a: jnp.take(a, perm, axis=0)
+    return (enc._replace(means=take(enc.means),
+                         quant_means=take(enc.quant_means),
+                         quant_cov=take(enc.quant_cov),
+                         color_codes=take(enc.color_codes),
+                         active=take(enc.active)),
+            jnp.take(bound, perm, axis=0))
+
+
 def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
                      cfg: GaussianConfig, qcfg: QuantConfig,
-                     fast: bool = False) -> jax.Array:
+                     fast: bool = False, backend: Optional[str] = None) -> jax.Array:
     """Dequantize codes + one render pass (gaussianimage_covariance.py:445-467).
 
-    This is the decode-FPS path: a single fused jit program. ``fast=True``
-    uses the dense binning-free forward kernel — measured SLOWER than the
-    binned path at N=5000 (the dense sweep is transcendental-bound at T*N
-    sigma/exp evaluations); useful only for small N. Default stays binned.
+    This is the decode-FPS path: a single fused jit program. ``backend``:
+
+    - ``'binned'`` (default): membership + per-tile top_k + capped kernel —
+      the training forward's machinery; its per-frame top_k is ~3.5 ms at
+      the Kodak point.
+    - ``'sweep'``: chunk-skip dense sweep (no binning, no gather, no cap);
+      pair with a ``morton_reorder``-ed stream for the fast path.
+    - ``'dense'`` (or ``fast=True``): plain dense sweep — measured SLOWER
+      than binned at N=5000 (transcendental-bound at T*N); small-N only.
     """
     means, cov_elements, colors = _decode_attributes(bundle, enc, qcfg)
     dummy = GaussianState(
         params=GaussianParams(xyz=means, cov2d=cov_elements, features=colors),
         active=enc.active, bound=bound,
         num_active=enc.num_active)
-    if fast and jax.default_backend() == "tpu":
+    if backend is None:
+        backend = "dense" if fast else "binned"
+    if backend == "sweep" or (backend == "dense"
+                              and jax.default_backend() == "tpu"):
         from ..models.gaussian_image import render_fast
         return render_fast(dummy, cfg, cov_override=cov_elements,
-                           means_override=means, colors_override=colors)
+                           means_override=means, colors_override=colors,
+                           sweep=(backend == "sweep"))
     import dataclasses
     dcap = qcfg.decode_cap if qcfg.decode_cap > 0 else cfg.tile_cap
     dcfg = dataclasses.replace(cfg, tile_cap=min(dcap, cfg.tile_cap))

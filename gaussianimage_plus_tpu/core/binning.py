@@ -315,6 +315,34 @@ def _select_members(member: jax.Array, cap: int, method: str) -> TileBins:
     return TileBins(ids=ids, mask=mask, count=count)
 
 
+def morton_perm(xys: jax.Array, valid: jax.Array, H: int, W: int,
+                block_h: int = BLOCK_H, block_w: int = BLOCK_W) -> jax.Array:
+    """[N] permutation sorting Gaussians by the Morton (Z-order) code of
+    their center's tile — invalid rows last.
+
+    Spatial stream layout for the chunk-skip sweep decoder
+    (``kernels.raster_dense_pallas.rasterize_sweep_pallas``): after this
+    permutation a tile's members occupy a handful of contiguous chunks, so
+    the sweep skips ~90% of its transcendental work. Rendering is
+    order-invariant (accumulation blending sums; the only order-sensitive
+    semantics is WHICH ids clip at an over-``cap`` tile, reference
+    forward.cu:673 — converged states don't overflow)."""
+    tb_x, tb_y = tile_bounds_for(H, W, block_h, block_w)
+    tx = jnp.clip((xys[:, 0] // block_w).astype(jnp.int32), 0, tb_x - 1)
+    ty = jnp.clip((xys[:, 1] // block_h).astype(jnp.int32), 0, tb_y - 1)
+
+    def spread(v):  # interleave-ready bit spread, 16 -> 32 bits
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    code = spread(tx) | (spread(ty) << 1)
+    code = jnp.where(valid, code, jnp.int32(2**30))  # invalid last
+    return jnp.argsort(code, stable=True)
+
+
 def gather_tile_attrs(bins: TileBins, *arrays: jax.Array):
     """Gather per-Gaussian arrays [N, ...] into per-tile layout [T, cap, ...]."""
     return tuple(a[bins.ids] for a in arrays)

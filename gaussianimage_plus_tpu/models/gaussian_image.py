@@ -306,20 +306,27 @@ def psd_clamp(params: GaussianParams, bound: jax.Array,
 def render_fast(state: GaussianState, cfg: GaussianConfig,
                 cov_override: Optional[jax.Array] = None,
                 means_override: Optional[jax.Array] = None,
-                colors_override: Optional[jax.Array] = None) -> jax.Array:
+                colors_override: Optional[jax.Array] = None,
+                sweep: bool = False) -> jax.Array:
     """Forward-only render via the dense binning-free Pallas kernel.
 
     The decode/eval fast path: identical blending math, NO per-tile cap
     (blends every bbox member — the quality-mode semantics; differs from the
     reference's capped rasterizer only in >cap-occupancy tiles). Falls back
-    to the regular path off-TPU."""
+    to the regular path off-TPU. ``sweep=True`` selects the chunk-skip
+    variant (fastest with a Morton-ordered stream)."""
     proj = project(state.params, state.active, state.bound, cfg,
                    cov_override=cov_override, means_override=means_override)
     colors = colors_override if colors_override is not None else colors_of(state.params, cfg)
     opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)
-    from ..kernels.raster_dense_pallas import rasterize_dense_pallas
-    img = rasterize_dense_pallas(proj, colors, opacity, cfg.H, cfg.W,
-                                 cfg.block_h, cfg.block_w)
+    if sweep:
+        from ..kernels.raster_dense_pallas import rasterize_sweep_pallas
+        img = rasterize_sweep_pallas(proj, colors, opacity, cfg.H, cfg.W,
+                                     cfg.block_h, cfg.block_w)
+    else:
+        from ..kernels.raster_dense_pallas import rasterize_dense_pallas
+        img = rasterize_dense_pallas(proj, colors, opacity, cfg.H, cfg.W,
+                                     cfg.block_h, cfg.block_w)
     return jnp.clip(img, 0.0, 1.0)
 
 

@@ -66,6 +66,33 @@ class TestCodec:
         # the only difference: compress prunes PSD-invalid quantized points
         assert float(jnp.mean(jnp.abs(out - img_q))) < 0.05
 
+    def test_sweep_backend_matches_binned(self):
+        """The chunk-skip sweep decoder must reproduce the binned decode
+        (no tile overflows at this state), before AND after the encoder's
+        Morton stream reorder."""
+        from gaussianimage_plus_tpu.compress.pipeline import morton_reorder
+
+        state, gt, cfg = fitted_state()
+        qcfg = QuantConfig()
+        bundle = init_quantizers(state, cfg, qcfg)
+        enc = compress_wo_ec(bundle, state, cfg, qcfg)
+        ref = decompress_wo_ec(bundle, enc, state.bound, cfg, qcfg)
+        out_s = decompress_wo_ec(bundle, enc, state.bound, cfg, qcfg,
+                                 backend="sweep")
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        enc_m, bound_m = morton_reorder(enc, state.bound, cfg)
+        assert int(enc_m.num_active) == int(enc.num_active)
+        out_m = decompress_wo_ec(bundle, enc_m, bound_m, cfg, qcfg,
+                                 backend="sweep")
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        # binned decode of the reordered stream is exact too (order only
+        # matters at over-cap tiles, absent here)
+        out_mb = decompress_wo_ec(bundle, enc_m, bound_m, cfg, qcfg)
+        np.testing.assert_allclose(np.asarray(out_mb), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
     def test_bpp_formula(self):
         state, gt, cfg = fitted_state()
         qcfg = QuantConfig()

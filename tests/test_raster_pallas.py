@@ -178,6 +178,47 @@ class TestDensePallas:
         assert np.isfinite(np.asarray(img)).all()
 
 
+class TestSweepPallas:
+    def test_matches_dense(self):
+        from gaussianimage_plus_tpu.kernels.raster_dense_pallas import (
+            rasterize_dense_pallas, rasterize_sweep_pallas)
+        xy, cov, colors, opacity, H, W = make_scene(n=150, seed=21)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        img_s = rasterize_sweep_pallas(proj, colors, opacity, H, W, kc=32)
+        img_d = rasterize_dense_pallas(proj, colors, opacity, H, W)
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_d),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_morton_order_invariant(self):
+        """Permuting the Gaussian stream by Morton code must not change the
+        sweep render (accumulation blending is order-free)."""
+        from gaussianimage_plus_tpu.core.binning import morton_perm
+        from gaussianimage_plus_tpu.kernels.raster_dense_pallas import (
+            rasterize_sweep_pallas)
+        xy, cov, colors, opacity, H, W = make_scene(n=120, seed=22)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        img_a = rasterize_sweep_pallas(proj, colors, opacity, H, W, kc=32)
+        perm = morton_perm(proj.xys, proj.valid, H, W)
+        proj_p = proj._replace(
+            xys=proj.xys[perm], conics=proj.conics[perm],
+            radii=proj.radii[perm], num_tiles_hit=proj.num_tiles_hit[perm],
+            valid=proj.valid[perm])
+        img_b = rasterize_sweep_pallas(proj_p, colors[perm], opacity[perm],
+                                       H, W, kc=32)
+        np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_invalid_last_in_morton_perm(self):
+        from gaussianimage_plus_tpu.core.binning import morton_perm
+        xy = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 40, (10, 2)).astype(np.float32))
+        valid = jnp.asarray([True, False, True, True, False,
+                             True, True, True, True, True])
+        perm = morton_perm(xy, valid, 48, 48)
+        v = np.asarray(valid)[np.asarray(perm)]
+        assert not v[-2:].any() and v[:-2].all()
+
+
 class TestDenseVJP:
     def test_dense_grads_match_tiled(self):
         from gaussianimage_plus_tpu.kernels.raster_dense_pallas import rasterize_dense
