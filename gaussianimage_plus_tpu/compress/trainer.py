@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.gaussian_image import GaussianConfig, GaussianState, prune
+from ..models.gaussian_image import GaussianConfig, GaussianState
 from ..train.losses import ms_ssim
 from ..train.metrics import psnr as psnr_fn
 from ..train.trainer import (
@@ -144,8 +144,14 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
     else:
         best_psnr, best_state, best_bundle = -float("inf"), state, bundle
 
-    # final prune on the unquantized cov (train_quantize.py:179)
-    best_state, _ = prune(best_state, cfg)
+    # NO unquantized-cov prune here: the reference prunes its FINAL state
+    # (train_quantize.py:174) and then load_state_dict's the best snapshot
+    # OVER it (:179-185), so the state that reaches encode is the best
+    # snapshot un-pruned. Round 3 pruned AFTER the restore — points whose
+    # unquantized cov drifted non-PSD across 44k QAT steps (legal: only the
+    # QUANTIZED cov renders) were deleted from the stream, costing up to
+    # 1.7 dB on kodim20/17/03 (diagnosed round 4; encode's own
+    # quantized-invalid prune, compress_wo_ec, is the only reference prune).
     return QuantFitResult(state=best_state, bundle=best_bundle,
                           best_psnr=best_psnr, train_time=train_time,
                           metrics={})
