@@ -28,7 +28,16 @@ def main():
     # first tiny program; the full budget covers the rest.
     import threading
 
+    partial = {}
+
     def _bail():
+        if partial:
+            # the main measurements completed; only a late optional section
+            # (e.g. the 2K point) hung — report what was measured
+            print(json.dumps({**partial,
+                              "error": "late bench section timed out"}),
+                  flush=True)
+            os._exit(2)
         print(json.dumps({
             "metric": "decode_fps", "value": 0, "unit": "fps",
             "vs_baseline": 0.0,
@@ -53,7 +62,7 @@ def main():
     import jax
     import jax.numpy as _pre_jnp
     float(jax.jit(lambda a: (a @ a).sum())(_pre_jnp.ones((256, 256))))
-    deadline["t"] = time.time() + int(os.environ.get("BENCH_TIMEOUT_S", "1800"))
+    deadline["t"] = time.time() + int(os.environ.get("BENCH_TIMEOUT_S", "2700"))
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -225,6 +234,40 @@ def main():
         "image": f"{W}x{H}",
         "num_points": N,
     }
+    partial.update(out)
+
+    # ---- 2K operating point (DIV2K scale; VERDICT r3 weak 4): the driver
+    # catches large-grid regressions every round, not just Kodak-point ones.
+    # Same marginal protocol; hier binning via bin_method auto; dispatch kept
+    # small (a 120-step scan at ~45 ms/step is ~6 s device time, well under
+    # the 60 s worker bound).
+    t2k = {}
+    if jax.default_backend() == "tpu":
+        H2, W2, N2 = 1344, 2040, 20000
+        rng2 = np.random.default_rng(1)
+        gt2 = jnp.asarray(np.kron(rng2.uniform(0, 1, (84, 128, 3)),
+                                  np.ones((16, 16, 1))).astype(np.float32))
+        cfg2 = GaussianConfig(H=H2, W=W2, max_num_points=N2, tile_cap=256)
+        ts2 = init_train_state(cfg2, tcfg, N2, seed=0)
+        ts2, _ = train_chunk(ts2, gt2, cfg2, tcfg, 100, True, False)
+        _ = np.asarray(ts2.gaussians.params.xyz)
+        t2 = {}
+        for n in (20, 120):
+            best = float("inf")
+            tsn, _ = train_chunk(ts2, gt2, cfg2, tcfg, n, False, False)
+            _ = np.asarray(tsn.gaussians.params.xyz)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                tsn, _ = train_chunk(ts2, gt2, cfg2, tcfg, n, False, False)
+                _ = np.asarray(tsn.gaussians.params.xyz)
+                best = min(best, time.perf_counter() - t0)
+            t2[n] = best
+        d2 = t2[120] - t2[20]
+        dt2 = d2 / 100 if d2 > 0.005 else t2[120] / 120
+        t2k = {"train_2k_ms": round(dt2 * 1e3, 3),
+               "train_2k_mpixels_per_s": round(H2 * W2 / dt2 / 1e6, 2)}
+
+    out.update(t2k)
     print(json.dumps(out))
 
 
