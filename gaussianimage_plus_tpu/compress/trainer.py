@@ -160,7 +160,8 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
 def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
                        gt, cfg: GaussianConfig, qcfg: QuantConfig,
                        n_renders: int = 0,
-                       write_bitstream: Optional[str] = None) -> dict:
+                       write_bitstream: Optional[str] = None,
+                       stream_order: str = "id") -> dict:
     """encode() deliverables (train_quantize.py:239-269): codes, decode FPS,
     bpp decomposition, quantized PSNR / MS-SSIM.
 
@@ -168,7 +169,13 @@ def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
     decode it back, and report ``bpp_stream`` (actual artifact bits / pixel)
     plus ``stream_psnr`` of the render decoded from the bytes — the
     round-trip capability of the reference's compress()/decompress()
-    (gaussianimage_cholesky.py:419-447)."""
+    (gaussianimage_cholesky.py:419-447).
+
+    ``stream_order``: ``'id'`` keeps training id order (stream_psnr is then
+    bit-identical to ``psnr``); ``'morton'`` lays the serialized stream out
+    in Z-order so the chunk-skip sweep decoder hits its fast path on the
+    artifact itself (same set of contributions — PSNR differs only by
+    float summation order, measured < 1e-4 dB)."""
     gt = jnp.asarray(gt)
     compress_jit = jax.jit(
         lambda s: compress_wo_ec(bundle, s, cfg, qcfg))
@@ -250,7 +257,12 @@ def encode_decode_eval(res_state: GaussianState, bundle: QuantizerBundle,
     if write_bitstream is not None:
         from .bitstream import decode_bitstream, serialize_bitstream
 
-        data = serialize_bitstream(bundle, enc, cfg, qcfg)
+        enc_s = enc
+        if stream_order == "morton":
+            from .pipeline import morton_reorder
+
+            enc_s, _ = morton_reorder(enc, res_state.bound, cfg)
+        data = serialize_bitstream(bundle, enc_s, cfg, qcfg)
         with open(write_bitstream, "wb") as f:
             f.write(data)
         img_rt, dec = decode_bitstream(data)

@@ -42,6 +42,9 @@ def main(argv):
     p.add_argument("--images", default=None,
                    help="comma-separated image stems (e.g. kodim01,kodim02) "
                         "to restrict the sweep to")
+    p.add_argument("--stream_order", choices=["id", "morton"], default="id",
+                   help="serialized bitstream layout; 'morton' = Z-order "
+                        "stream, the chunk-skip sweep decoder's fast path")
     p.add_argument("--color_quant", choices=["lsq", "vq"], default="lsq",
                    help="color codec branch (reference --color_quant, "
                         "quantize.py:261-333): 'lsq' = 6-bit learned uniform "
@@ -166,7 +169,8 @@ def main(argv):
         bs_path = str(Path(args.bitstream_dir) / f"{name}.gipb")
         stats = encode_decode_eval(res.state, res.bundle, gt, cfg, qcfg,
                                    n_renders=args.n_renders,
-                                   write_bitstream=bs_path)
+                                   write_bitstream=bs_path,
+                                   stream_order=args.stream_order)
         rec = {"image": name, "best_train_psnr": res.best_psnr,
                "train_time": res.train_time, "wall": time.time() - t0,
                "iterations": args.iterations,
