@@ -182,6 +182,95 @@ def _make_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int):
     return kernel
 
 
+def _make_sweep_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int):
+    """Sweep backward: the dense backward (per-chunk gradient accumulation,
+    zero scatter) plus the chunk-skip member test — (tile, chunk) pairs with
+    no bbox member skip all transcendental/matmul work. With a Morton-kept
+    stream this drops the dense backward's O(T*N*P) wall to ~O(members*P),
+    making it the fastest exact backward at full N (the binned backward
+    pays ~3.5 ms top_k + ~3.6 ms gradient scatter per step at the Kodak
+    point)."""
+
+    def kernel(table_ref, bbox_ref, phi_ref, vout_ref, out_ref):
+        c = pl.program_id(0)
+        tblk = pl.program_id(1)
+        raw = table_ref[pl.ds(c * KC, KC), :]              # [KC, COLS]
+        bbox = bbox_ref[pl.ds(c * KC, KC), :]              # [KC, 4]
+        phi = phi_ref[...]                                 # [8, P]
+
+        c1 = raw[:, 0:1]
+        c2 = raw[:, 1:2]
+        c3 = raw[:, 2:3]
+        opac = raw[:, 8:9]
+        valid = raw[:, COLS - 1:COLS]
+        rgb = raw[:, 5:8]                                  # [KC, 3]
+
+        @pl.when(tblk == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        for i in range(tb):
+            t = tblk * tb + i
+            tx = (t % tb_x).astype(jnp.float32)
+            ty = (t // tb_x).astype(jnp.float32)
+            member = ((tx >= bbox[:, 0:1]) & (tx < bbox[:, 1:2]) &
+                      (ty >= bbox[:, 2:3]) & (ty < bbox[:, 3:4]) &
+                      (valid > 0.0))
+
+            @pl.when(jnp.any(member))
+            def _(i=i, tx=tx, ty=ty, member=member):
+                lmx = raw[:, 3:4] - tx * block_w
+                lmy = raw[:, 4:5] - ty * block_h
+                w = jnp.concatenate([
+                    0.5 * c1, 0.5 * c3, c2,
+                    -(c1 * lmx + c2 * lmy),
+                    -(c2 * lmx + c3 * lmy),
+                    0.5 * c1 * lmx * lmx + 0.5 * c3 * lmy * lmy
+                    + c2 * lmx * lmy,
+                    jnp.zeros_like(c1), jnp.zeros_like(c1),
+                ], axis=1)
+                sigma = jax.lax.dot_general(
+                    w, phi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)
+                vis = jnp.exp(-sigma)
+                alpha = jnp.minimum(1.0, opac * vis)
+                contrib = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & member
+                weights = jnp.where(contrib, alpha, 0.0)   # [KC, P]
+                v_out = vout_ref[i]                        # [8, P] rows 0..2 live
+                v_alpha = jax.lax.dot_general(
+                    rgb, v_out[0:3, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)
+                v_rgb = jax.lax.dot_general(
+                    weights, v_out, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [KC, 8] cols 0..2
+                v_sigma = jnp.where(contrib, -(opac * vis) * v_alpha, 0.0)
+                v_opac = jnp.sum(jnp.where(contrib, vis * v_alpha, 0.0),
+                                 axis=1, keepdims=True)
+                M = jax.lax.dot_general(
+                    v_sigma, phi, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [KC, 8]
+                Sxx = M[:, 0:1]; Syy = M[:, 1:2]; Sxy = M[:, 2:3]
+                Sx = M[:, 3:4]; Sy = M[:, 4:5]; S1 = M[:, 5:6]
+                v_con_x = 0.5 * (lmx * lmx * S1 - 2.0 * lmx * Sx + Sxx)
+                v_con_y = 0.5 * (lmx * lmy * S1 - lmx * Sy - lmy * Sx + Sxy)
+                v_con_z = 0.5 * (lmy * lmy * S1 - 2.0 * lmy * Sy + Syy)
+                mom_x = lmx * S1 - Sx
+                mom_y = lmy * S1 - Sy
+                v_xy_x = c1 * mom_x + c2 * mom_y
+                v_xy_y = c2 * mom_x + c3 * mom_y
+                zeros7 = jnp.zeros((raw.shape[0], 7), raw.dtype)
+                out_ref[...] += jnp.concatenate([
+                    v_xy_x, v_xy_y, v_con_x, v_con_y, v_con_z,
+                    v_rgb[:, 0:3], v_opac, zeros7,
+                ], axis=1)                                 # [KC, COLS]
+
+    return kernel
+
+
 def _dense_prepare(proj, colors, opacity, H, W, block_h, block_w):
     tb_x, tb_y = tile_bounds_for(H, W, block_h, block_w)
     T = tb_x * tb_y
@@ -225,6 +314,44 @@ def dense_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
     )
     payload = pl.pallas_call(
         _make_bwd_kernel(tb_x, block_h, block_w, tb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, COLS), jnp.float32),
+        interpret=_interpret(),
+    )(table, bbox, _phi_block(block_h, block_w), vout_pad)
+
+    N = proj.xys.shape[0]
+    v_xys = payload[:N, 0:2]
+    v_conics = payload[:N, 2:5]
+    v_colors = payload[:N, 5:8]
+    v_opacity = payload[:N, 8].reshape(opacity.shape)
+    return v_xys, v_conics, v_colors, v_opacity
+
+
+def sweep_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
+                   v_img: jax.Array, H: int, W: int,
+                   block_h: int = BLOCK_H, block_w: int = BLOCK_W):
+    """Per-Gaussian gradients via the chunk-skip sweep backward — identical
+    math/conventions to ``dense_backward`` (zero scatter), with the member
+    skip bounding the work by actual coverage."""
+    table, bbox, tb_x, tb_y, T, Np, tb = _dense_prepare(
+        proj, colors, opacity, H, W, block_h, block_w)
+    P = block_h * block_w
+    vout_t = jnp.swapaxes(_image_to_tiles(v_img, tb_x, tb_y, block_h, block_w), 1, 2)
+    vout_pad = jnp.zeros((T, 8, P), jnp.float32).at[:, 0:3, :].set(vout_t)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(Np // KC, T // tb),
+        in_specs=[
+            pl.BlockSpec((Np, COLS), lambda c, tb_i: (0, 0)),
+            pl.BlockSpec((Np, 4), lambda c, tb_i: (0, 0)),
+            pl.BlockSpec((8, P), lambda c, tb_i: (0, 0)),
+            pl.BlockSpec((tb, 8, P), lambda c, tb_i: (tb_i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((KC, COLS), lambda c, tb_i: (c, 0)),
+    )
+    payload = pl.pallas_call(
+        _make_sweep_bwd_kernel(tb_x, block_h, block_w, tb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, COLS), jnp.float32),
         interpret=_interpret(),
@@ -436,3 +563,38 @@ def _rd_bwd(H, W, block_h, block_w, res, v_img):
 
 
 rasterize_dense.defvjp(_rd_fwd, _rd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def rasterize_sweep(xys, conics, colors, opacity, radii, valid,
+                    H: int, W: int, block_h: int = BLOCK_H, block_w: int = BLOCK_W):
+    """Differentiable chunk-skip sweep rasterization.
+
+    Semantics identical to ``rasterize_dense`` (cap-free exact member
+    coverage, reference gradient conventions); both directions skip
+    (tile, chunk) pairs with no member, so fwd+bwd cost tracks actual
+    coverage instead of T*N — no binning, no gather, no gradient scatter.
+    Keep the stream Morton-ordered (``core.binning.morton_perm``) for the
+    fast path; any order is correct."""
+    return rasterize_sweep_pallas(_mk_proj(xys, conics, radii, valid),
+                                  colors, opacity, H, W, block_h, block_w)
+
+
+def _rs_fwd(xys, conics, colors, opacity, radii, valid, H, W, block_h, block_w):
+    out = rasterize_sweep_pallas(_mk_proj(xys, conics, radii, valid),
+                                 colors, opacity, H, W, block_h, block_w)
+    return out, (xys, conics, colors, opacity, radii, valid)
+
+
+def _rs_bwd(H, W, block_h, block_w, res, v_img):
+    import numpy as np
+
+    xys, conics, colors, opacity, radii, valid = res
+    v_xys, v_conics, v_colors, v_opacity = sweep_backward(
+        _mk_proj(xys, conics, radii, valid), colors, opacity, v_img,
+        H, W, block_h, block_w)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (v_xys, v_conics, v_colors, v_opacity, f0(radii), f0(valid))
+
+
+rasterize_sweep.defvjp(_rs_fwd, _rs_bwd)

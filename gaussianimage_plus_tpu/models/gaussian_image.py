@@ -197,14 +197,6 @@ def render(state: GaussianState, cfg: GaussianConfig,
     """
     proj = project(state.params, state.active, state.bound, cfg,
                    cov_override=cov_override, means_override=means_override)
-    if cfg.bin_method == "pallas":
-        from ..kernels.binning_pallas import bin_gaussians_pallas
-        bins = bin_gaussians_pallas(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
-                                    block_h=cfg.block_h, block_w=cfg.block_w)
-    else:
-        bins = bin_gaussians(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
-                             block_h=cfg.block_h, block_w=cfg.block_w,
-                             method=cfg.bin_method)
     colors = colors_override if colors_override is not None else colors_of(state.params, cfg)
     opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)  # fixed 1 (:58)
     backend = cfg.raster_backend
@@ -217,6 +209,23 @@ def render(state: GaussianState, cfg: GaussianConfig,
                               proj.radii, proj.valid, cfg.H, cfg.W,
                               cfg.block_h, cfg.block_w)
         return jnp.clip(img, 0.0, 1.0)
+    if backend == "sweep":
+        # chunk-skip sweep fwd+bwd: no binning, no gather, no gradient
+        # scatter (no per-tile cap; quality mode). Fastest when the stream
+        # is Morton-kept (TrainConfig.resort_every / morton_perm).
+        from ..kernels.raster_dense_pallas import rasterize_sweep
+        img = rasterize_sweep(proj.xys, proj.conics, colors, opacity,
+                              proj.radii, proj.valid, cfg.H, cfg.W,
+                              cfg.block_h, cfg.block_w)
+        return jnp.clip(img, 0.0, 1.0)
+    if cfg.bin_method == "pallas":
+        from ..kernels.binning_pallas import bin_gaussians_pallas
+        bins = bin_gaussians_pallas(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
+                                    block_h=cfg.block_h, block_w=cfg.block_w)
+    else:
+        bins = bin_gaussians(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
+                             block_h=cfg.block_h, block_w=cfg.block_w,
+                             method=cfg.bin_method)
     if backend == "pallas":
         from ..kernels.raster_pallas import rasterize_pallas
         img = rasterize_pallas(proj.xys, proj.conics, colors, opacity,

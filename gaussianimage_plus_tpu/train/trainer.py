@@ -75,6 +75,13 @@ class TrainConfig:
     # relay. 2500 is safe at Kodak step times (~13 ms); lower it for big
     # images (2K at ~100 ms/step needs <=500)
     max_dispatch_steps: int = struct.field(pytree_node=False, default=2500)
+    # Re-sort the Gaussian stream by Morton code at every chunk boundary
+    # (performance layout for the sweep raster backend: params + optimizer
+    # moments permute TOGETHER, so the math is exact — only the summation
+    # order inside the blend changes, and the per-tile cap clipping order
+    # for binned backends at over-cap tiles). Default off = reference id
+    # order.
+    morton_resort: bool = struct.field(pytree_node=False, default=False)
     # L2 penalty on per-Gaussian color magnitude (quality lever, default off
     # = reference parity). Converged accumulation-blended fits grow colors
     # with a heavy tail ([-10.7, 29.0] on kodim01 at 50k) which is what the
@@ -210,11 +217,37 @@ def _grow_ts(ts: TrainState, gt, cfg, tcfg, last_img, final_fill):
     return ts.replace(gaussians=gs, opt_state=opt_state, key=key), n_added
 
 
+def _morton_resort(ts: TrainState, cfg: GaussianConfig) -> TrainState:
+    """Permute the live Gaussian stream (params + optimizer moment rows +
+    active/bound) into Morton order — a pure layout move: every per-row
+    quantity moves together, so the optimization trajectory is unchanged
+    up to float summation order in the blend."""
+    from ..core.binning import morton_perm
+
+    gs = ts.gaussians
+    perm = morton_perm(gs.params.xyz, gs.active, cfg.H, cfg.W,
+                       cfg.block_h, cfg.block_w)
+    take = lambda x: jnp.take(x, perm, axis=0)
+    gs = gs.replace(params=jax.tree.map(take, gs.params),
+                    active=take(gs.active), bound=take(gs.bound))
+    n = perm.shape[0]
+
+    def permute_rows(x):
+        if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == n:
+            return jnp.take(x, perm, axis=0)
+        return x
+
+    return ts.replace(gaussians=gs,
+                      opt_state=jax.tree.map(permute_rows, ts.opt_state))
+
+
 def _train_chunk_impl(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
                       tcfg: TrainConfig, n_steps: int, do_prune: bool,
                       do_grow: bool, final_fill=False, render_fn=None,
                       carry_img=None):
     tx = make_optimizer(tcfg)
+    if tcfg.morton_resort:
+        ts = _morton_resort(ts, cfg)
 
     def body(carry, _):
         ts, _img = carry

@@ -1,6 +1,7 @@
 """Pallas rasterizer (interpret mode on CPU) vs the XLA tiled path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -253,6 +254,56 @@ class TestDenseVJP:
         tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.02)
         res = fit_image(gt, cfg, tcfg, num_points=30, seed=0)
         assert res.best_psnr > 14.0
+
+
+class TestSweepVJP:
+    def test_sweep_grads_match_dense(self):
+        from gaussianimage_plus_tpu.kernels.raster_dense_pallas import (
+            rasterize_dense, rasterize_sweep)
+        xy, cov, colors, opacity, H, W = make_scene(n=40, seed=41)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        rng = np.random.default_rng(42)
+        cot = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+
+        def loss_of(raster):
+            def loss(args):
+                xys, conics, col, op = args
+                img = raster(xys, conics, col, op, proj.radii, proj.valid, H, W)
+                return jnp.sum(jnp.clip(img, 0, 1) * cot)
+            return loss
+
+        args = (proj.xys, proj.conics, colors, opacity)
+        g_s = jax.grad(loss_of(rasterize_sweep))(args)
+        g_d = jax.grad(loss_of(rasterize_dense))(args)
+        # the two backwards accumulate per-tile contributions in different
+        # orders (dense: per-chunk acc over tiles; sweep: per-tile adds), so
+        # agreement is float-order-limited, not exact
+        for a, b, name in zip(g_s, g_d, ["xys", "conics", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=5e-4, err_msg=name)
+
+    def test_sweep_backend_with_resort_matches_dense_fit(self):
+        """fit_image at backend='sweep' + morton_resort must reach the same
+        result as backend='dense' without resort: the sweep kernel is exact
+        for any order and the resort permutes params + moments together."""
+        from gaussianimage_plus_tpu.models import GaussianConfig
+        from gaussianimage_plus_tpu.train import TrainConfig, fit_image
+        H, W = 32, 48
+        gt = np.asarray(np.random.default_rng(7).uniform(
+            0, 1, (H, W, 3)), dtype=np.float32)
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50, lr=0.02)
+        cfg_d = GaussianConfig(H=H, W=W, max_num_points=64, raster_backend="dense")
+        cfg_s = GaussianConfig(H=H, W=W, max_num_points=64, raster_backend="sweep")
+        res_d = fit_image(gt, cfg_d, tcfg, num_points=30, seed=0)
+        res_s = fit_image(gt, cfg_s, tcfg.replace(morton_resort=True),
+                          num_points=30, seed=0)
+        # trajectories agree up to float summation order (which compounds
+        # through 200 chaotic optimizer steps): compare outcomes, not rows
+        assert res_s.best_psnr == pytest.approx(res_d.best_psnr, abs=2e-2)
+        from gaussianimage_plus_tpu.models import render
+        img_d = np.asarray(render(res_d.state, cfg_d))
+        img_s = np.asarray(render(res_s.state, cfg_s))
+        np.testing.assert_allclose(img_s, img_d, atol=2e-2)
 
 
 class TestFlatForward:
