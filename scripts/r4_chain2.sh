@@ -31,6 +31,9 @@ run_watched () {  # $1 log file, $2... command
   return 1
 }
 
+echo "=== r4_perf A/B ===" >> /tmp/r4_stage2.log
+run_watched /tmp/r4_stage2.log python -u scripts/r4_perf.py --with_2k
+
 QAT_ARGS=(--color_norm --tile_cap 256 --stream_order morton
           --repr_ckpt_dir results/ckpt50k_cn --repr_state_dir results/repr_states_cn
           --out results/kodak_quant50k_cn_r4.jsonl
