@@ -352,12 +352,14 @@ def deserialize_bitstream(data: bytes) -> DecodedBitstream:
                             bound=bound, bpp=len(data) * 8.0 / (H * W))
 
 
-def decode_bitstream(data: bytes, cfg=None):
+def decode_bitstream(data: bytes, cfg=None, backend=None):
     """Bytes -> rendered [H, W, 3] image + the decoded pieces.
 
     ``cfg`` overrides the render config (tile sizes, backend); by default a
-    GaussianConfig is built from the header. Returns (image, DecodedBitstream).
-    """
+    GaussianConfig is built from the header. ``backend`` forwards to
+    ``decompress_wo_ec`` ('binned' default; 'sweep' = the chunk-skip sweep
+    decoder, fastest on Morton-ordered streams). Returns
+    (image, DecodedBitstream)."""
     import dataclasses
 
     from ..models.gaussian_image import GaussianConfig
@@ -370,5 +372,6 @@ def decode_bitstream(data: bytes, cfg=None):
                              tile_cap=dec.qcfg.decode_cap or 256)
     else:
         cfg = dataclasses.replace(cfg, H=dec.H, W=dec.W, max_num_points=M)
-    img = decompress_wo_ec(dec.bundle, dec.enc, dec.bound, cfg, dec.qcfg)
+    img = decompress_wo_ec(dec.bundle, dec.enc, dec.bound, cfg, dec.qcfg,
+                           backend=backend)
     return img, dec

@@ -26,6 +26,9 @@ def main(argv):
                    help="optional ground-truth image for PSNR/MS-SSIM")
     p.add_argument("--time", action="store_true",
                    help="measure bin-once decode FPS (marginal protocol)")
+    p.add_argument("--backend", choices=["binned", "sweep"], default=None,
+                   help="render path: 'sweep' = chunk-skip sweep decoder "
+                        "(fastest on Morton-ordered streams)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -42,7 +45,7 @@ def main(argv):
     from gaussianimage_plus_tpu.utils.image_io import load_image, save_image
 
     data = Path(args.bitstream).read_bytes()
-    img, dec = decode_bitstream(data)
+    img, dec = decode_bitstream(data, backend=args.backend)
     out = args.out or (str(Path(args.bitstream).with_suffix("")) + ".png")
     save_image(np.asarray(img), out)
     print(f"{args.bitstream}: {dec.W}x{dec.H}, "
