@@ -305,6 +305,22 @@ class TestSweepVJP:
         img_s = np.asarray(render(res_s.state, cfg_s))
         np.testing.assert_allclose(img_s, img_d, atol=2e-2)
 
+    def test_resort_with_binned_backend_trains(self):
+        """morton_resort composes with the default binned backend (id order
+        only matters at over-cap tiles, absent here)."""
+        from gaussianimage_plus_tpu.models import GaussianConfig
+        from gaussianimage_plus_tpu.train import TrainConfig, fit_image
+        H, W = 32, 48
+        gt = np.asarray(np.random.default_rng(8).uniform(
+            0, 1, (H, W, 3)), dtype=np.float32)
+        cfg = GaussianConfig(H=H, W=W, max_num_points=64, tile_cap=64)
+        tcfg = TrainConfig(iterations=200, grow_iter=100, prune_iter=50,
+                           lr=0.02)
+        res_a = fit_image(gt, cfg, tcfg, num_points=30, seed=1)
+        res_b = fit_image(gt, cfg, tcfg.replace(morton_resort=True),
+                          num_points=30, seed=1)
+        assert res_b.best_psnr == pytest.approx(res_a.best_psnr, abs=2e-2)
+
 
 class TestFlatForward:
     def test_flat_matches_chunked(self):
