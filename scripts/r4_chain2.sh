@@ -50,6 +50,6 @@ while [ "$(wc -l < results/kodak_quant50k_cn_r4.jsonl 2>/dev/null || echo 0)" -l
   if [ -n "$DEADLINE" ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then break; fi
 done
 
-echo "=== bench ===" >> /tmp/r4_stage2.log
-run_watched /tmp/r4_stage2.log python -u bench.py
+# no bench stage: the round driver runs bench.py itself at round end;
+# every minute here goes to the QAT re-sweep instead
 echo "=== r4 chain2 done ===" >> /tmp/r4_stage2.log
