@@ -241,15 +241,18 @@ def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBu
     gaussianimage_covariance.py:219-247): image loss only (vq_loss computed
     but never added, :224), model Adam + three quantizer Adams all stepped.
 
-    ``best`` is an optional (psnr, params, bundle_params) carry holding the
-    best-quantized-PSNR snapshot, updated per step in-graph (matching the
-    reference's per-iteration deepcopy, train_quantize.py:166-169).
+    ``best`` is an optional (psnr, params, bundle_params, color_vq) carry
+    holding the best-quantized-PSNR snapshot, updated per step in-graph
+    (matching the reference's per-iteration state_dict deepcopy,
+    train_quantize.py:166-169 — which INCLUDES the VQ submodule's EMA
+    codebooks; color_vq is None in lsq mode and rides along as an empty
+    subtree).
     """
     model_tx = _adam(model_lr, 20000, 0.5, 1e-15)
     xy_tx, cov_tx, col_tx = make_quantizer_opts(qcfg)
     if best is None:
         best = (jnp.full((), -jnp.inf), state.params,
-                (bundle.xy, bundle.cov, bundle.color))
+                (bundle.xy, bundle.cov, bundle.color), bundle.color_vq)
 
     def one_step(carry, _):
         state, model_opt_state, bundle, best = carry
@@ -280,13 +283,14 @@ def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBu
                                  color_vq=codes.get("color_vq_state",
                                                     bundle.color_vq))
         cur_psnr = psnr_fn(img, gt)
-        best_psnr, best_params, best_qp = best
+        best_psnr, best_params, best_qp, best_vq = best
         improved = cur_psnr > best_psnr
         take = lambda a, b: jax.tree.map(
             lambda x, y: jnp.where(improved, x, y), a, b)
         best = (jnp.where(improved, cur_psnr, best_psnr),
                 take(params, best_params),
-                take((xy_p, cov_p, col_p), best_qp))
+                take((xy_p, cov_p, col_p), best_qp),
+                take(bundle2.color_vq, best_vq))
         return ((state.replace(params=params), model_opt_state, bundle2, best),
                 (loss, cur_psnr))
 
@@ -315,7 +319,7 @@ def quant_train_macro_chunk(state: GaussianState, model_opt_state,
     for the Mosaic/XLA compile path."""
     if best is None:
         best = (jnp.full((), -jnp.inf), state.params,
-                (bundle.xy, bundle.cov, bundle.color))
+                (bundle.xy, bundle.cov, bundle.color), bundle.color_vq)
 
     def body(carry, _):
         state, mos, bundle, best = carry

@@ -140,7 +140,8 @@ def fit_image_quantized(gt, cfg: GaussianConfig, tcfg: TrainConfig,
         best_psnr = float(best[0])
         best_state = state.replace(params=best[1])
         bxy, bcov, bcol = best[2]
-        best_bundle = bundle.replace(xy=bxy, cov=bcov, color=bcol)
+        best_bundle = bundle.replace(xy=bxy, cov=bcov, color=bcol,
+                                     color_vq=best[3])
     else:
         best_psnr, best_state, best_bundle = -float("inf"), state, bundle
 

@@ -34,6 +34,14 @@ run_watched () {  # $1 log file, $2... command
 echo "=== r4_perf A/B ===" >> /tmp/r4_stage2.log
 run_watched /tmp/r4_stage2.log python -u scripts/r4_perf.py --with_2k
 
+# VQ cell re-run with the codebook best-carry fix (fresh out file)
+run_watched /tmp/r4_vq2.log python -u scripts/sweep_quant50k.py \
+  --color_norm --color_quant vq --tile_cap 256 --stream_order morton \
+  --images kodim01,kodim02 \
+  --repr_ckpt_dir results/ckpt50k_cn --repr_state_dir results/repr_states_cn \
+  --out results/kodak_quant_vq_r4fix.jsonl \
+  --bitstream_dir results/bitstreams_vq_r4fix
+
 QAT_ARGS=(--color_norm --tile_cap 256 --stream_order morton
           --repr_ckpt_dir results/ckpt50k_cn --repr_state_dir results/repr_states_cn
           --out results/kodak_quant50k_cn_r4.jsonl
