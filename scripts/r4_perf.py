@@ -101,7 +101,8 @@ def main(argv):
         H2, W2, N2 = 1344, 2040, 20000
         rng2 = np.random.default_rng(1)
         gt2 = jnp.asarray(np.kron(rng2.uniform(0, 1, (84, 128, 3)),
-                                  np.ones((16, 16, 1))).astype(np.float32))
+                                  np.ones((16, 16, 1)))[:H2, :W2]
+                          .astype(np.float32))
 
         def marginal_2k(cfg, tcfg):
             ts = init_train_state(cfg, tcfg, N2, seed=0)
