@@ -287,10 +287,18 @@ def quant_train_chunk(state: GaussianState, model_opt_state, bundle: QuantizerBu
         improved = cur_psnr > best_psnr
         take = lambda a, b: jax.tree.map(
             lambda x, y: jnp.where(improved, x, y), a, b)
+        # snapshot the EXACT pair that produced cur_psnr (pre-update params
+        # + pre-update quantizers): encode(best) then reproduces
+        # best_train_psnr. The reference deepcopies the POST-update
+        # state_dict (train_quantize.py:166-169) — a 1-step lag that costs
+        # ~0.03 dB in lsq mode but up to 1.8 dB in vq mode when the best
+        # lands while the EMA codebooks are still moving fast (measured
+        # round 4, kodim01 vq: best 25.70 -> encode 23.94 with the lagged
+        # snapshot). Deliberate improvement over the reference here.
         best = (jnp.where(improved, cur_psnr, best_psnr),
-                take(params, best_params),
-                take((xy_p, cov_p, col_p), best_qp),
-                take(bundle2.color_vq, best_vq))
+                take(state.params, best_params),
+                take((bundle.xy, bundle.cov, bundle.color), best_qp),
+                take(bundle.color_vq, best_vq))
         return ((state.replace(params=params), model_opt_state, bundle2, best),
                 (loss, cur_psnr))
 
