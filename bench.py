@@ -45,9 +45,12 @@ def main():
             # last completed on-hardware measurements, for context ONLY —
             # they are NOT this run's numbers (see EXPERIMENTS.md round-2
             # "bin-once decode" and the K-sweep tables for protocols)
-            "stale_last_measured": {"decode_fps": 4153, "decode_fps_full": 215,
-                                     "train_step_ms_cap256": 10.572,
-                                     "measured": "2026-08-17, one v5e core"}}),
+            "stale_last_measured": {"decode_fps": 2864.65,
+                                     "train_step_ms_cap256": 10.35,
+                                     "train_step_ms_2k": 87.88,
+                                     "measured": "2026-08-19 (r4_perf), one "
+                                                 "v5e core; relay stalled "
+                                                 "that evening"}}),
               flush=True)
         os._exit(2)
 
