@@ -133,6 +133,11 @@ def main():
         img = decompress_wo_ec(bundle, e, bound_m, cfg, qcfg, backend="sweep")
         return img, img[0, 0, 0] * 1e-7
 
+    def range_decode_chained(e, feedback):
+        e = e._replace(quant_means=e.quant_means + feedback)
+        img = decompress_wo_ec(bundle, e, bound_m, cfg, qcfg, backend="range")
+        return img, img[0, 0, 0] * 1e-7
+
     def make_scan_n(chained, n):
         @jax.jit
         def decode_n(e, fb0):
@@ -173,9 +178,15 @@ def main():
     except Exception as e:  # compiled-Mosaic failure must not kill the bench
         dt_full_sweep = float("inf")
         sweep_err = f"{type(e).__name__}: {e}"[:200]
+    try:
+        dt_full_range = marginal_time(range_decode_chained, enc_m)
+        range_err = None
+    except Exception as e:
+        dt_full_range = float("inf")
+        range_err = f"{type(e).__name__}: {e}"[:200]
     # decode_fps_full = best exact per-frame full decode (protocol honored
     # by both; the sweep is the codec's own decoder design)
-    dt_full = min(dt_full_binned, dt_full_sweep)
+    dt_full = min(dt_full_binned, dt_full_sweep, dt_full_range)
     fps_full = 1.0 / dt_full
 
     # ---- on-hardware kernel parity: compiled Pallas vs XLA rasterizer ----
@@ -234,7 +245,9 @@ def main():
         "vs_baseline_full": round(fps_full / 2000.0, 4),
         "decode_fps_full_binned": round(1.0 / dt_full_binned, 2),
         "decode_fps_full_sweep": round(1.0 / dt_full_sweep, 2),
+        "decode_fps_full_range": round(1.0 / dt_full_range, 2),
         **({"sweep_error": sweep_err} if sweep_err else {}),
+        **({"range_error": range_err} if range_err else {}),
         "train_mpixels_per_s": round(mpix_s, 2),
         "train_step_ms": round(dt_step * 1e3, 3),
         "train_step_scope": "fwd+bwd+adam (marginal; excludes 1-per-100 prune)",

@@ -425,6 +425,9 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
       the Kodak point.
     - ``'sweep'``: chunk-skip dense sweep (no binning, no gather, no cap);
       pair with a ``morton_reorder``-ed stream for the fast path.
+    - ``'range'``: chunk-RANGE sweep — per-tile [lo, hi) chunk bounds
+      precomputed in XLA (masked min/max over member ids, no top_k), the
+      kernel visits only its range; the round-5 decode candidate.
     - ``'dense'`` (or ``fast=True``): plain dense sweep — measured SLOWER
       than binned at N=5000 (transcendental-bound at T*N); small-N only.
     """
@@ -435,12 +438,13 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
         num_active=enc.num_active)
     if backend is None:
         backend = "dense" if fast else "binned"
-    if backend == "sweep" or (backend == "dense"
-                              and jax.default_backend() == "tpu"):
+    if backend in ("sweep", "range") or (backend == "dense"
+                                         and jax.default_backend() == "tpu"):
         from ..models.gaussian_image import render_fast
         return render_fast(dummy, cfg, cov_override=cov_elements,
                            means_override=means, colors_override=colors,
-                           sweep=(backend == "sweep"))
+                           sweep=("range" if backend == "range"
+                                  else backend == "sweep"))
     import dataclasses
     dcap = qcfg.decode_cap if qcfg.decode_cap > 0 else cfg.tile_cap
     dcfg = dataclasses.replace(cfg, tile_cap=min(dcap, cfg.tile_cap))

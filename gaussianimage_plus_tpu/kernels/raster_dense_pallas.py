@@ -526,6 +526,133 @@ def rasterize_sweep_pallas(proj: Projected, colors: jax.Array,
     return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
 
 
+def _make_range_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
+                       kc: int):
+    """Chunk-RANGE sweep: like the chunk-skip sweep but with the skip
+    decision hoisted OUT of the kernel — per-tile [lo, hi) chunk bounds
+    arrive via scalar prefetch (computed in XLA as a masked min/max over
+    member ids, no top_k), and each tile fori's only its own range. The
+    in-range member test still runs (ranges are conservative), but the
+    per-(tile, chunk) any()+branch that made the plain sweep lose 6x on
+    v5e (EXPERIMENTS round 4) is gone: visits ~= members' chunk span
+    instead of all N/kc chunks."""
+
+    def kernel(lo_ref, hi_ref, table_ref, bbox_ref, phi_ref, out_ref):
+        tblk = pl.program_id(0)
+        phi = phi_ref[...]                                 # [8, P]
+
+        for i in range(tb):
+            t = tblk * tb + i
+            out_ref[i] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+            tx = (t % tb_x).astype(jnp.float32)
+            ty = (t // tb_x).astype(jnp.float32)
+
+            def body(c, _, i=i, tx=tx, ty=ty):
+                raw = table_ref[pl.ds(c * kc, kc), :]      # [kc, COLS]
+                bbox = bbox_ref[pl.ds(c * kc, kc), :]      # [kc, 4]
+                c1 = raw[:, 0:1]
+                c2 = raw[:, 1:2]
+                c3 = raw[:, 2:3]
+                opac = raw[:, 8:9]
+                valid = raw[:, COLS - 1:COLS]
+                member = ((tx >= bbox[:, 0:1]) & (tx < bbox[:, 1:2]) &
+                          (ty >= bbox[:, 2:3]) & (ty < bbox[:, 3:4]) &
+                          (valid > 0.0))                   # [kc, 1]
+                lmx = raw[:, 3:4] - tx * block_w
+                lmy = raw[:, 4:5] - ty * block_h
+                w = jnp.concatenate([
+                    0.5 * c1, 0.5 * c3, c2,
+                    -(c1 * lmx + c2 * lmy),
+                    -(c2 * lmx + c3 * lmy),
+                    0.5 * c1 * lmx * lmx + 0.5 * c3 * lmy * lmy
+                    + c2 * lmx * lmy,
+                    jnp.zeros_like(c1), jnp.zeros_like(c1),
+                ], axis=1)                                 # [kc, 8]
+                sigma = jax.lax.dot_general(
+                    w, phi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [kc, P]
+                alpha = jnp.minimum(1.0, opac * jnp.exp(-sigma))
+                contrib = ((sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD)
+                           & member)
+                weights = jnp.where(contrib, alpha, 0.0)
+                rgb8 = jnp.concatenate(
+                    [raw[:, 5:8], jnp.zeros((raw.shape[0], 5), raw.dtype)],
+                    axis=1)
+                out_ref[i] += jax.lax.dot_general(
+                    rgb8, weights, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [8, P]
+                return 0
+
+            jax.lax.fori_loop(lo_ref[t], hi_ref[t], body, 0)
+
+    return kernel
+
+
+def rasterize_range_pallas(proj: Projected, colors: jax.Array,
+                           opacity: jax.Array, H: int, W: int,
+                           block_h: int = BLOCK_H, block_w: int = BLOCK_W,
+                           kc: int = 64) -> jax.Array:
+    """Forward-only chunk-range sweep render -> [H, W, 3] (unclamped).
+
+    Exact for any stream order (the range is a conservative superset and
+    the kernel re-tests membership); fastest when the stream is
+    Morton-ordered (``core.binning.morton_perm``) so each tile's member ids
+    are nearly contiguous and [lo, hi) spans a handful of chunks."""
+    tb_x, tb_y = tile_bounds_for(H, W, block_h, block_w)
+    T = tb_x * tb_y
+    N = proj.xys.shape[0]
+    P = block_h * block_w
+
+    table = _build_table(proj.xys, proj.conics, colors, opacity)
+    table = table.at[:N, COLS - 1].set(proj.valid.astype(jnp.float32))
+    xmin, xmax, ymin, ymax = tile_bbox(
+        proj.xys, proj.radii.astype(jnp.float32), (tb_x, tb_y), block_h, block_w)
+    bbox = jnp.stack([xmin, xmax, ymin, ymax], axis=-1).astype(jnp.float32)
+    bbox = jnp.concatenate([bbox, jnp.zeros((1, 4), jnp.float32)], axis=0)
+
+    # per-tile member-id ranges in XLA: a [T, N] bool + masked min/max
+    # reduces — O(T*N) fused elementwise, no top_k, no sort
+    tx = jnp.arange(tb_x, dtype=jnp.float32)
+    ty = jnp.arange(tb_y, dtype=jnp.float32)
+    in_x = (tx[None, :, None] >= xmin[None, None, :]) & \
+           (tx[None, :, None] < xmax[None, None, :])
+    in_y = (ty[:, None, None] >= ymin[None, None, :]) & \
+           (ty[:, None, None] < ymax[None, None, :])
+    member = (in_x & in_y & proj.valid[None, None, :]).reshape(T, N)
+    ids = jnp.arange(N, dtype=jnp.int32)[None, :]
+    idx_min = jnp.min(jnp.where(member, ids, N), axis=1)        # [T]
+    idx_max = jnp.max(jnp.where(member, ids, -1), axis=1)       # [T]
+    lo = jnp.where(idx_max >= 0, idx_min // kc, 0).astype(jnp.int32)
+    hi = jnp.where(idx_max >= 0, idx_max // kc + 1, 0).astype(jnp.int32)
+
+    Np = -(-(N + 1) // kc) * kc
+    if Np != N + 1:
+        table = jnp.pad(table, ((0, Np - N - 1), (0, 0)))
+        bbox = jnp.pad(bbox, ((0, Np - N - 1), (0, 0)))
+    tb = TB if T % TB == 0 else 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // tb,),
+        in_specs=[
+            pl.BlockSpec((Np, COLS), lambda tb_i, lo, hi: (0, 0)),
+            pl.BlockSpec((Np, 4), lambda tb_i, lo, hi: (0, 0)),
+            pl.BlockSpec((8, P), lambda tb_i, lo, hi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, 8, P), lambda tb_i, lo, hi: (tb_i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _make_range_kernel(tb_x, block_h, block_w, tb, kc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        interpret=_interpret(),
+    )(lo, hi, table, bbox, _phi_block(block_h, block_w))
+    tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)
+    return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
+
+
 def _mk_proj(xys, conics, radii, valid):
     return Projected(xys=xys, conics=conics, radii=radii,
                      num_tiles_hit=jnp.zeros_like(radii), valid=valid)

@@ -316,19 +316,24 @@ def render_fast(state: GaussianState, cfg: GaussianConfig,
                 cov_override: Optional[jax.Array] = None,
                 means_override: Optional[jax.Array] = None,
                 colors_override: Optional[jax.Array] = None,
-                sweep: bool = False) -> jax.Array:
+                sweep=False) -> jax.Array:
     """Forward-only render via the dense binning-free Pallas kernel.
 
     The decode/eval fast path: identical blending math, NO per-tile cap
     (blends every bbox member — the quality-mode semantics; differs from the
     reference's capped rasterizer only in >cap-occupancy tiles). Falls back
     to the regular path off-TPU. ``sweep=True`` selects the chunk-skip
-    variant (fastest with a Morton-ordered stream)."""
+    variant, ``sweep='range'`` the chunk-range variant (both fastest with
+    a Morton-ordered stream)."""
     proj = project(state.params, state.active, state.bound, cfg,
                    cov_override=cov_override, means_override=means_override)
     colors = colors_override if colors_override is not None else colors_of(state.params, cfg)
     opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)
-    if sweep:
+    if sweep == "range":
+        from ..kernels.raster_dense_pallas import rasterize_range_pallas
+        img = rasterize_range_pallas(proj, colors, opacity, cfg.H, cfg.W,
+                                     cfg.block_h, cfg.block_w)
+    elif sweep:
         from ..kernels.raster_dense_pallas import rasterize_sweep_pallas
         img = rasterize_sweep_pallas(proj, colors, opacity, cfg.H, cfg.W,
                                      cfg.block_h, cfg.block_w)

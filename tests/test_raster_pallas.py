@@ -209,6 +209,60 @@ class TestSweepPallas:
         np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
                                    atol=2e-5, rtol=1e-5)
 
+    def test_range_matches_dense(self):
+        from gaussianimage_plus_tpu.kernels.raster_dense_pallas import (
+            rasterize_dense_pallas, rasterize_range_pallas)
+        xy, cov, colors, opacity, H, W = make_scene(n=150, seed=23)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        img_r = rasterize_range_pallas(proj, colors, opacity, H, W, kc=32)
+        img_d = rasterize_dense_pallas(proj, colors, opacity, H, W)
+        np.testing.assert_allclose(np.asarray(img_r), np.asarray(img_d),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_range_matches_dense_morton(self):
+        from gaussianimage_plus_tpu.core.binning import morton_perm
+        from gaussianimage_plus_tpu.kernels.raster_dense_pallas import (
+            rasterize_dense_pallas, rasterize_range_pallas)
+        xy, cov, colors, opacity, H, W = make_scene(n=120, seed=24)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        img_d = rasterize_dense_pallas(proj, colors, opacity, H, W)
+        perm = morton_perm(proj.xys, proj.valid, H, W)
+        proj_p = proj._replace(
+            xys=proj.xys[perm], conics=proj.conics[perm],
+            radii=proj.radii[perm], num_tiles_hit=proj.num_tiles_hit[perm],
+            valid=proj.valid[perm])
+        img_r = rasterize_range_pallas(proj_p, colors[perm], opacity[perm],
+                                       H, W, kc=32)
+        np.testing.assert_allclose(np.asarray(img_r), np.asarray(img_d),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_range_decode_backend(self):
+        """decompress_wo_ec(backend='range') == binned decode."""
+        from gaussianimage_plus_tpu.compress import (
+            QuantConfig, compress_wo_ec, decompress_wo_ec, init_quantizers)
+        from gaussianimage_plus_tpu.compress.pipeline import morton_reorder
+        from gaussianimage_plus_tpu.models import GaussianConfig
+        from gaussianimage_plus_tpu.train import TrainConfig
+        from gaussianimage_plus_tpu.train.trainer import init_train_state, train_chunk
+
+        H, W = 48, 64
+        cfg = GaussianConfig(H=H, W=W, max_num_points=96, tile_cap=48)
+        tcfg = TrainConfig(iterations=100, grow_iter=50, prune_iter=50, lr=0.02)
+        gt = jnp.asarray(np.random.default_rng(2).uniform(
+            0, 1, (H, W, 3)).astype(np.float32))
+        ts = init_train_state(cfg, tcfg, 48, seed=0)
+        ts, _ = train_chunk(ts, gt, cfg, tcfg, 100, True, False)
+        state = ts.gaussians
+        qcfg = QuantConfig()
+        bundle = init_quantizers(state, cfg, qcfg)
+        enc = compress_wo_ec(bundle, state, cfg, qcfg)
+        ref = decompress_wo_ec(bundle, enc, state.bound, cfg, qcfg)
+        enc_m, bound_m = morton_reorder(enc, state.bound, cfg)
+        out = decompress_wo_ec(bundle, enc_m, bound_m, cfg, qcfg,
+                               backend="range")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
     def test_invalid_last_in_morton_perm(self):
         from gaussianimage_plus_tpu.core.binning import morton_perm
         xy = jnp.asarray(np.random.default_rng(0).uniform(
