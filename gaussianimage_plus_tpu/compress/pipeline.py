@@ -427,7 +427,10 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
       pair with a ``morton_reorder``-ed stream for the fast path.
     - ``'range'``: chunk-RANGE sweep — per-tile [lo, hi) chunk bounds
       precomputed in XLA (masked min/max over member ids, no top_k), the
-      kernel visits only its range; the round-5 decode candidate.
+      kernel visits only its range.
+    - ``'list'``: chunk-LIST sweep — per-tile exact member-chunk lists
+      (tiny [T, N/kc] top_k); visits == member chunks, the round-5
+      decode candidate.
     - ``'dense'`` (or ``fast=True``): plain dense sweep — measured SLOWER
       than binned at N=5000 (transcendental-bound at T*N); small-N only.
     """
@@ -438,12 +441,12 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
         num_active=enc.num_active)
     if backend is None:
         backend = "dense" if fast else "binned"
-    if backend in ("sweep", "range") or (backend == "dense"
-                                         and jax.default_backend() == "tpu"):
+    if backend in ("sweep", "range", "list") or (
+            backend == "dense" and jax.default_backend() == "tpu"):
         from ..models.gaussian_image import render_fast
         return render_fast(dummy, cfg, cov_override=cov_elements,
                            means_override=means, colors_override=colors,
-                           sweep=("range" if backend == "range"
+                           sweep=(backend if backend in ("range", "list")
                                   else backend == "sweep"))
     import dataclasses
     dcap = qcfg.decode_cap if qcfg.decode_cap > 0 else cfg.tile_cap

@@ -218,6 +218,16 @@ def render(state: GaussianState, cfg: GaussianConfig,
                               proj.radii, proj.valid, cfg.H, cfg.W,
                               cfg.block_h, cfg.block_w)
         return jnp.clip(img, 0.0, 1.0)
+    if backend == "list":
+        # chunk-LIST fwd+bwd: per-tile member-chunk lists (tiny [T, N/kc]
+        # top_k) + per-chunk tile-block gradient accumulation — selection
+        # machinery and gradient scatter both gone (quality mode, cap-free).
+        # Fastest Morton-kept (TrainConfig.resort_every / morton_perm).
+        from ..kernels.raster_list_pallas import rasterize_list
+        img = rasterize_list(proj.xys, proj.conics, colors, opacity,
+                             proj.radii, proj.valid, cfg.H, cfg.W,
+                             cfg.block_h, cfg.block_w)
+        return jnp.clip(img, 0.0, 1.0)
     if cfg.bin_method == "pallas":
         from ..kernels.binning_pallas import bin_gaussians_pallas
         bins = bin_gaussians_pallas(proj, cfg.H, cfg.W, cap=cfg.tile_cap,
@@ -333,6 +343,10 @@ def render_fast(state: GaussianState, cfg: GaussianConfig,
         from ..kernels.raster_dense_pallas import rasterize_range_pallas
         img = rasterize_range_pallas(proj, colors, opacity, cfg.H, cfg.W,
                                      cfg.block_h, cfg.block_w)
+    elif sweep == "list":
+        from ..kernels.raster_list_pallas import rasterize_list_pallas
+        img = rasterize_list_pallas(proj, colors, opacity, cfg.H, cfg.W,
+                                    cfg.block_h, cfg.block_w)
     elif sweep:
         from ..kernels.raster_dense_pallas import rasterize_sweep_pallas
         img = rasterize_sweep_pallas(proj, colors, opacity, cfg.H, cfg.W,
