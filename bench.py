@@ -141,6 +141,11 @@ def main():
         img = decompress_wo_ec(bundle, e, bound_m, cfg, qcfg, backend="range")
         return img, img[0, 0, 0] * 1e-7
 
+    def list_decode_chained(e, feedback):
+        e = e._replace(quant_means=e.quant_means + feedback)
+        img = decompress_wo_ec(bundle, e, bound_m, cfg, qcfg, backend="list")
+        return img, img[0, 0, 0] * 1e-7
+
     def make_scan_n(chained, n):
         @jax.jit
         def decode_n(e, fb0):
@@ -187,9 +192,15 @@ def main():
     except Exception as e:
         dt_full_range = float("inf")
         range_err = f"{type(e).__name__}: {e}"[:200]
+    try:
+        dt_full_list = marginal_time(list_decode_chained, enc_m)
+        list_err = None
+    except Exception as e:
+        dt_full_list = float("inf")
+        list_err = f"{type(e).__name__}: {e}"[:200]
     # decode_fps_full = best exact per-frame full decode (protocol honored
-    # by both; the sweep is the codec's own decoder design)
-    dt_full = min(dt_full_binned, dt_full_sweep, dt_full_range)
+    # by all; the list/range sweeps are the codec's own decoder designs)
+    dt_full = min(dt_full_binned, dt_full_sweep, dt_full_range, dt_full_list)
     fps_full = 1.0 / dt_full
 
     # ---- on-hardware kernel parity: compiled Pallas vs XLA rasterizer ----
@@ -212,6 +223,12 @@ def main():
         sweep_parity = float(_jnp.max(_jnp.abs(img_s - img_d)))
     else:
         sweep_parity = -1.0
+    if list_err is None:
+        img_l = jax.jit(lambda e: decompress_wo_ec(bundle, e, bound_m, cfg,
+                                                   qcfg, backend="list"))(enc_m)
+        list_parity = float(_jnp.max(_jnp.abs(img_l - img_d)))
+    else:
+        list_parity = -1.0
 
     # ---- train-step throughput (fwd+bwd+adam; excludes the 1-per-100-step
     # prune, which cancels out of the marginal delta anyway) ----
@@ -249,8 +266,10 @@ def main():
         "decode_fps_full_binned": round(1.0 / dt_full_binned, 2),
         "decode_fps_full_sweep": round(1.0 / dt_full_sweep, 2),
         "decode_fps_full_range": round(1.0 / dt_full_range, 2),
+        "decode_fps_full_list": round(1.0 / dt_full_list, 2),
         **({"sweep_error": sweep_err} if sweep_err else {}),
         **({"range_error": range_err} if range_err else {}),
+        **({"list_error": list_err} if list_err else {}),
         "train_mpixels_per_s": round(mpix_s, 2),
         "train_step_ms": round(dt_step * 1e3, 3),
         "train_step_scope": "fwd+bwd+adam (marginal; excludes 1-per-100 prune)",
@@ -258,6 +277,7 @@ def main():
         "pallas_vs_xla_maxdiff": kernel_parity,
         "prepared_vs_full_decode_maxdiff": decode_parity,
         "sweep_vs_full_decode_maxdiff": sweep_parity,
+        "list_vs_full_decode_maxdiff": list_parity,
         "platform": jax.default_backend(),
         "image": f"{W}x{H}",
         "num_points": N,

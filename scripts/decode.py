@@ -26,10 +26,11 @@ def main(argv):
                    help="optional ground-truth image for PSNR/MS-SSIM")
     p.add_argument("--time", action="store_true",
                    help="measure bin-once decode FPS (marginal protocol)")
-    p.add_argument("--backend", choices=["binned", "sweep", "range"], default=None,
-                   help="render path: 'sweep'/'range' = the chunk-skip / "
-                        "chunk-range sweep decoders (fastest on "
-                        "Morton-ordered streams)")
+    p.add_argument("--backend", choices=["binned", "sweep", "range", "list"],
+                   default=None,
+                   help="render path: 'sweep'/'range'/'list' = the chunk-skip"
+                        " / chunk-range / chunk-list sweep decoders (fastest "
+                        "on Morton-ordered streams)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
