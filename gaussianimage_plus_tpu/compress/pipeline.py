@@ -441,12 +441,13 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
         num_active=enc.num_active)
     if backend is None:
         backend = "dense" if fast else "binned"
-    if backend in ("sweep", "range", "list") or (
+    if backend in ("sweep", "range", "list", "list_t") or (
             backend == "dense" and jax.default_backend() == "tpu"):
         from ..models.gaussian_image import render_fast
         return render_fast(dummy, cfg, cov_override=cov_elements,
                            means_override=means, colors_override=colors,
-                           sweep=(backend if backend in ("range", "list")
+                           sweep=(backend if backend in ("range", "list",
+                                                         "list_t")
                                   else backend == "sweep"))
     import dataclasses
     dcap = qcfg.decode_cap if qcfg.decode_cap > 0 else cfg.tile_cap

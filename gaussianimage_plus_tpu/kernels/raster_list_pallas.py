@@ -62,6 +62,7 @@ from .raster_pallas import COLS, _build_table, _phi_block
 from .raster_dense_pallas import dense_backward
 
 KC = 64     # gaussian slots per chunk
+KC_T = 128  # chunk slots for the lane-major (list_t) layout: full vreg width
 TB = 8      # tiles per fwd grid step
 LMAX = 16   # static per-tile chunk-list width (residual interval beyond)
 MTB = 64    # static per-chunk tile-block-list width (cond fallback beyond)
@@ -241,6 +242,122 @@ def rasterize_list_pallas(proj: Projected, colors: jax.Array,
         out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
         interpret=_interpret(),
     )(lst, cnt, lo2, hi2, table, bbox, _phi_block(block_h, block_w))
+    tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)
+    return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
+
+
+def _make_list_t_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
+                        kc: int):
+    """Lane-major list forward: the chunked attribute table arrives as
+    [nch, COLS, kc] (gaussians on the LANE axis), so every per-gaussian
+    scalar expression is a [1, kc] full-lane op instead of a [kc, 1]
+    one-lane-per-sublane op — the v1 body spends roughly half its VPU
+    instructions on that narrow column math. sigma is computed transposed
+    ([P, kc]) so the opacity/member broadcasts stay lane-major with no
+    in-kernel transposes; blending math identical to _fwd_body."""
+
+    def kernel(lst_ref, cnt_ref, lo2_ref, hi2_ref,
+               table_ref, bbox_ref, phi_ref, out_ref):
+        tblk = pl.program_id(0)
+        phi = phi_ref[...]                                 # [8, P]
+
+        for i in range(tb):
+            t = tblk * tb + i
+            out_ref[i] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+            tx = (t % tb_x).astype(jnp.float32)
+            ty = (t // tb_x).astype(jnp.float32)
+
+            def visit(c, i=i, tx=tx, ty=ty):
+                raw = table_ref[c]                         # [COLS, kc]
+                bbx = bbox_ref[c]                          # [4, kc]
+                c1 = raw[0:1]
+                c2 = raw[1:2]
+                c3 = raw[2:3]
+                opac = raw[8:9]
+                valid = raw[COLS - 1:COLS]
+                member = ((tx >= bbx[0:1]) & (tx < bbx[1:2]) &
+                          (ty >= bbx[2:3]) & (ty < bbx[3:4]) &
+                          (valid > 0.0))                   # [1, kc]
+                lmx = raw[3:4] - tx * block_w
+                lmy = raw[4:5] - ty * block_h
+                w = jnp.concatenate([
+                    0.5 * c1, 0.5 * c3, c2,
+                    -(c1 * lmx + c2 * lmy),
+                    -(c2 * lmx + c3 * lmy),
+                    0.5 * c1 * lmx * lmx + 0.5 * c3 * lmy * lmy
+                    + c2 * lmx * lmy,
+                    jnp.zeros_like(c1), jnp.zeros_like(c1),
+                ], axis=0)                                 # [8, kc]
+                sigma_t = jax.lax.dot_general(
+                    phi, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [P, kc]
+                alpha = jnp.minimum(1.0, opac * jnp.exp(-sigma_t))
+                contrib = ((sigma_t >= 0.0) & (alpha >= ALPHA_THRESHOLD)
+                           & member)
+                weights = jnp.where(contrib, alpha, 0.0)   # [P, kc]
+                rgb8 = jnp.concatenate(
+                    [raw[5:8], jnp.zeros((5, raw.shape[1]), raw.dtype)],
+                    axis=0)                                # [8, kc]
+                out_ref[i] += jax.lax.dot_general(
+                    rgb8, weights, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [8, P]
+
+            def body_list(j, _, t=t, visit=visit):
+                visit(lst_ref[t, j])
+                return 0
+
+            def body_rng(c, _, visit=visit):
+                visit(c)
+                return 0
+
+            jax.lax.fori_loop(0, cnt_ref[t], body_list, 0)
+            jax.lax.fori_loop(lo2_ref[t], hi2_ref[t], body_rng, 0)
+
+    return kernel
+
+
+def rasterize_list_t_pallas(proj: Projected, colors: jax.Array,
+                            opacity: jax.Array, H: int, W: int,
+                            block_h: int = BLOCK_H, block_w: int = BLOCK_W,
+                            kc: int = None, lmax: int = None,
+                            tb: int = None) -> jax.Array:
+    """Forward-only lane-major chunk-list render -> [H, W, 3] (unclamped).
+
+    Same selection/coverage/exactness story as ``rasterize_list_pallas``;
+    the kernel body works in the transposed [*, kc] layout (see
+    _make_list_t_kernel). kc defaults to 128: at full vreg lane width the
+    [P, kc] chain matches the row-major body's instruction count while the
+    narrow per-gaussian math all but disappears."""
+    kc = KC_T if kc is None else kc
+    lmax = LMAX if lmax is None else lmax
+    tb = TB if tb is None else tb
+    table, bbox, member, tb_x, tb_y, T, N, Np = _table_bbox(
+        proj, colors, opacity, H, W, block_h, block_w, kc)
+    P = block_h * block_w
+    nch = Np // kc
+    lst, cnt, lo2, hi2 = _chunk_lists(member, N, Np, kc, lmax)
+    table3 = jnp.swapaxes(table.reshape(nch, kc, COLS), 1, 2)  # [nch, COLS, kc]
+    bbox3 = jnp.swapaxes(bbox.reshape(nch, kc, 4), 1, 2)       # [nch, 4, kc]
+    tbs = tb if T % tb == 0 else 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T // tbs,),
+        in_specs=[
+            pl.BlockSpec((nch, COLS, kc), lambda tb_i, *_: (0, 0, 0)),
+            pl.BlockSpec((nch, 4, kc), lambda tb_i, *_: (0, 0, 0)),
+            pl.BlockSpec((8, P), lambda tb_i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tbs, 8, P), lambda tb_i, *_: (tb_i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _make_list_t_kernel(tb_x, block_h, block_w, tbs, kc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        interpret=_interpret(),
+    )(lst, cnt, lo2, hi2, table3, bbox3, _phi_block(block_h, block_w))
     tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)
     return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
 

@@ -347,6 +347,10 @@ def render_fast(state: GaussianState, cfg: GaussianConfig,
         from ..kernels.raster_list_pallas import rasterize_list_pallas
         img = rasterize_list_pallas(proj, colors, opacity, cfg.H, cfg.W,
                                     cfg.block_h, cfg.block_w)
+    elif sweep == "list_t":
+        from ..kernels.raster_list_pallas import rasterize_list_t_pallas
+        img = rasterize_list_t_pallas(proj, colors, opacity, cfg.H, cfg.W,
+                                      cfg.block_h, cfg.block_w)
     elif sweep:
         from ..kernels.raster_dense_pallas import rasterize_sweep_pallas
         img = rasterize_sweep_pallas(proj, colors, opacity, cfg.H, cfg.W,

@@ -143,25 +143,28 @@ def main(argv):
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
 
-        for kc, lmax, tb in ((64, 16, 8), (128, 8, 8), (32, 24, 8),
-                             (64, 16, 16), (128, 8, 16)):
+        shapes = (("list", 64, 16, 8), ("list", 128, 8, 8),
+                  ("list", 32, 24, 8), ("list", 64, 16, 16),
+                  ("list_t", 128, 8, 8), ("list_t", 128, 8, 16),
+                  ("list_t", 64, 16, 8))
+        for backend, kc, lmax, tb in shapes:
             try:
-                rlp.KC, rlp.LMAX, rlp.TB = kc, lmax, tb
-                dt = marginal_time(make_chained("list"), enc_m)
+                rlp.KC, rlp.KC_T, rlp.LMAX, rlp.TB = kc, kc, lmax, tb
+                dt = marginal_time(make_chained(backend), enc_m)
                 img_l = np.asarray(jax.jit(
                     lambda e: decompress_wo_ec(bundle, e, bound_m, cfg, qcfg,
-                                               backend="list"))(enc_m))
+                                               backend=backend))(enc_m))
                 maxdiff = (float(np.abs(img_l - ref_img).max())
                            if ref_img is not None else -1.0)
-                print(json.dumps({"config": f"decode_full_list_kc{kc}_l{lmax}_tb{tb}",
+                print(json.dumps({"config": f"decode_full_{backend}_kc{kc}_l{lmax}_tb{tb}",
                                   "ms": round(dt * 1e3, 3),
                                   "fps": round(1 / dt, 1),
                                   "maxdiff_vs_binned": maxdiff}), flush=True)
             except Exception as e:
-                print(json.dumps({"config": f"decode_full_list_kc{kc}_l{lmax}_tb{tb}",
+                print(json.dumps({"config": f"decode_full_{backend}_kc{kc}_l{lmax}_tb{tb}",
                                   "error": f"{type(e).__name__}: {e}"[:200]}),
                       flush=True)
-        rlp.KC, rlp.LMAX, rlp.TB = 64, 16, 8
+        rlp.KC, rlp.KC_T, rlp.LMAX, rlp.TB = 64, 128, 16, 8
 
         # prep isolation: dequantize + project + member matrix + chunk lists
         # (everything the list decode does except the render kernel)

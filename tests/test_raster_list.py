@@ -51,6 +51,24 @@ class TestListForward:
         np.testing.assert_allclose(np.asarray(img_l), np.asarray(img_d),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_lane_major_matches_dense(self):
+        """The transposed-layout ([*, kc] lane-major) list kernel is the
+        same math in a different vreg layout — must match the dense oracle
+        in id order AND Morton order, including the residual interval."""
+        from gaussianimage_plus_tpu.kernels.raster_list_pallas import (
+            rasterize_list_t_pallas)
+        xy, cov, colors, opacity, H, W = make_scene(n=150, seed=39)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        img_d = rasterize_dense_pallas(proj, colors, opacity, H, W)
+        img_t = rasterize_list_t_pallas(proj, colors, opacity, H, W, kc=32)
+        np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_d),
+                                   atol=1e-5, rtol=1e-5)
+        perm = morton_perm(proj.xys, proj.valid, H, W)
+        img_tm = rasterize_list_t_pallas(_perm_proj(proj, perm), colors[perm],
+                                         opacity[perm], H, W, kc=32, lmax=1)
+        np.testing.assert_allclose(np.asarray(img_tm), np.asarray(img_d),
+                                   atol=2e-5, rtol=1e-5)
+
     def test_invalid_culled(self):
         xy, cov, colors, opacity, H, W = make_scene(n=20, seed=34)
         cov = cov.at[0].set(jnp.array([1.0, 2.0, 1.0]))  # det<0 -> invalid
