@@ -454,16 +454,114 @@ def _make_list_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
     return kernel
 
 
+def _make_list_t_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
+                            kc: int):
+    """Lane-major list backward: same per-chunk tile-block streaming as
+    _make_list_bwd_kernel, with the whole gradient chain in the transposed
+    [*, kc] layout ([P, kc] pixel terms, [1, kc]/[8, kc] per-gaussian
+    terms) — the row-major bwd body spends most of its VPU instructions on
+    ~40 [kc, 1] column ops per tile visit; here they are full-lane.
+    Payload accumulates as [COLS, kc] per chunk (transposed back in XLA)."""
+
+    def kernel(tlst_ref, tcnt_ref, table_ref, bbox_ref, phi_ref, vout_ref,
+               out_ref):
+        c = pl.program_id(0)
+        j = pl.program_id(1)
+        phi = phi_ref[...]                                 # [8, P]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when(j < tcnt_ref[c])
+        def _():
+            raw = table_ref[0]                             # [COLS, kc]
+            bbx = bbox_ref[0]                              # [4, kc]
+            c1 = raw[0:1]
+            c2 = raw[1:2]
+            c3 = raw[2:3]
+            opac = raw[8:9]
+            valid = raw[COLS - 1:COLS]
+            rgb8 = jnp.concatenate(
+                [raw[5:8], jnp.zeros((5, raw.shape[1]), raw.dtype)],
+                axis=0)                                    # [8, kc] rows 0..2
+            tbi = tlst_ref[c, j]
+
+            acc = jnp.zeros((COLS, raw.shape[1]), jnp.float32)
+            for i in range(tb):
+                t = tbi * tb + i
+                tx = (t % tb_x).astype(jnp.float32)
+                ty = (t // tb_x).astype(jnp.float32)
+                member = ((tx >= bbx[0:1]) & (tx < bbx[1:2]) &
+                          (ty >= bbx[2:3]) & (ty < bbx[3:4]) &
+                          (valid > 0.0))                   # [1, kc]
+                lmx = raw[3:4] - tx * block_w
+                lmy = raw[4:5] - ty * block_h
+                w = jnp.concatenate([
+                    0.5 * c1, 0.5 * c3, c2,
+                    -(c1 * lmx + c2 * lmy),
+                    -(c2 * lmx + c3 * lmy),
+                    0.5 * c1 * lmx * lmx + 0.5 * c3 * lmy * lmy
+                    + c2 * lmx * lmy,
+                    jnp.zeros_like(c1), jnp.zeros_like(c1),
+                ], axis=0)                                 # [8, kc]
+                sigma_t = jax.lax.dot_general(
+                    phi, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [P, kc]
+                vis = jnp.exp(-sigma_t)
+                alpha = jnp.minimum(1.0, opac * vis)
+                contrib = ((sigma_t >= 0.0) & (alpha >= ALPHA_THRESHOLD)
+                           & member)
+                weights = jnp.where(contrib, alpha, 0.0)   # [P, kc]
+                v_out = vout_ref[i]                        # [8, P] rows 0..2
+                # v_alpha_t[p, k] = rgb_k . v_out_p (rows 3..7 both zero)
+                v_alpha = jax.lax.dot_general(
+                    v_out, rgb8, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [P, kc]
+                v_rgb = jax.lax.dot_general(
+                    v_out, weights, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [8, kc] rows 0..2
+                v_sigma = jnp.where(contrib, -(opac * vis) * v_alpha, 0.0)
+                v_opac = jnp.sum(jnp.where(contrib, vis * v_alpha, 0.0),
+                                 axis=0, keepdims=True)    # [1, kc]
+                M = jax.lax.dot_general(
+                    phi, v_sigma, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PRECISION)                # [8, kc]
+                Sxx = M[0:1]; Syy = M[1:2]; Sxy = M[2:3]
+                Sx = M[3:4]; Sy = M[4:5]; S1 = M[5:6]
+                v_con_x = 0.5 * (lmx * lmx * S1 - 2.0 * lmx * Sx + Sxx)
+                v_con_y = 0.5 * (lmx * lmy * S1 - lmx * Sy - lmy * Sx + Sxy)
+                v_con_z = 0.5 * (lmy * lmy * S1 - 2.0 * lmy * Sy + Syy)
+                mom_x = lmx * S1 - Sx
+                mom_y = lmy * S1 - Sy
+                v_xy_x = c1 * mom_x + c2 * mom_y
+                v_xy_y = c2 * mom_x + c3 * mom_y
+                zeros7 = jnp.zeros((7, raw.shape[1]), raw.dtype)
+                acc += jnp.concatenate([
+                    v_xy_x, v_xy_y, v_con_x, v_con_y, v_con_z,
+                    v_rgb[0:3], v_opac, zeros7,
+                ], axis=0)                                 # [COLS, kc]
+            out_ref[0] += acc
+
+    return kernel
+
+
 def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
                   v_img: jax.Array, H: int, W: int,
                   block_h: int = BLOCK_H, block_w: int = BLOCK_W,
-                  kc: int = None, mtb: int = None, tb: int = None):
+                  kc: int = None, mtb: int = None, tb: int = None,
+                  layout: str = "rows"):
     """Per-Gaussian gradients via per-chunk tile-block lists — zero scatter,
     v_out streamed block-by-block (no full-image VMEM residency). Falls back
     to ``dense_backward`` (exact, O(T*N)) via lax.cond if any chunk
     intersects more than ``mtb`` tile blocks. Knobs default to KC/MTB/TB at
-    call time."""
-    kc = KC if kc is None else kc
+    call time; ``layout='lanes'`` selects the lane-major kernel body
+    (gaussians on the lane axis, kc default KC_T)."""
+    kc = (KC_T if layout == "lanes" else KC) if kc is None else kc
     mtb = MTB if mtb is None else mtb
     tb = TB if tb is None else tb
     table, bbox, member, tb_x, tb_y, T, N, Np = _table_bbox(
@@ -491,6 +589,34 @@ def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
     vout_pad = jnp.zeros((T, 8, P), jnp.float32).at[:, 0:3, :].set(vout_t)
 
     def _list_impl(_):
+        vout_spec = pl.BlockSpec(
+            (tbs, 8, P),
+            lambda c, j, tlst, tcnt: (
+                tlst[c, jnp.minimum(j, jnp.maximum(tcnt[c] - 1, 0))],
+                0, 0))
+        if layout == "lanes":
+            table3 = jnp.swapaxes(table.reshape(nch, kc, COLS), 1, 2)
+            bbox3 = jnp.swapaxes(bbox.reshape(nch, kc, 4), 1, 2)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nch, mtb),
+                in_specs=[
+                    pl.BlockSpec((1, COLS, kc), lambda c, j, *_: (c, 0, 0)),
+                    pl.BlockSpec((1, 4, kc), lambda c, j, *_: (c, 0, 0)),
+                    pl.BlockSpec((8, P), lambda c, j, *_: (0, 0)),
+                    vout_spec,
+                ],
+                out_specs=pl.BlockSpec((1, COLS, kc),
+                                       lambda c, j, *_: (c, 0, 0)),
+            )
+            payload3 = pl.pallas_call(
+                _make_list_t_bwd_kernel(tb_x, block_h, block_w, tbs, kc),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((nch, COLS, kc), jnp.float32),
+                interpret=_interpret(),
+            )(tlst, tcnt, table3, bbox3, _phi_block(block_h, block_w),
+              vout_pad)
+            return jnp.swapaxes(payload3, 1, 2).reshape(Np, COLS)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nch, mtb),
@@ -498,11 +624,7 @@ def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
                 pl.BlockSpec((kc, COLS), lambda c, j, *_: (c, 0)),
                 pl.BlockSpec((kc, 4), lambda c, j, *_: (c, 0)),
                 pl.BlockSpec((8, P), lambda c, j, *_: (0, 0)),
-                pl.BlockSpec(
-                    (tbs, 8, P),
-                    lambda c, j, tlst, tcnt: (
-                        tlst[c, jnp.minimum(j, jnp.maximum(tcnt[c] - 1, 0))],
-                        0, 0)),
+                vout_spec,
             ],
             out_specs=pl.BlockSpec((kc, COLS), lambda c, j, *_: (c, 0)),
         )
@@ -568,3 +690,35 @@ def _rl_bwd(H, W, block_h, block_w, res, v_img):
 
 
 rasterize_list.defvjp(_rl_fwd, _rl_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def rasterize_list_t(xys, conics, colors, opacity, radii, valid,
+                     H: int, W: int, block_h: int = BLOCK_H,
+                     block_w: int = BLOCK_W):
+    """Differentiable lane-major chunk-list rasterization — semantics
+    identical to ``rasterize_list``, both kernel bodies in the transposed
+    [*, kc] layout (see _make_list_t_kernel/_make_list_t_bwd_kernel)."""
+    return rasterize_list_t_pallas(_mk_proj(xys, conics, radii, valid),
+                                   colors, opacity, H, W, block_h, block_w)
+
+
+def _rlt_fwd(xys, conics, colors, opacity, radii, valid, H, W,
+             block_h, block_w):
+    out = rasterize_list_t_pallas(_mk_proj(xys, conics, radii, valid),
+                                  colors, opacity, H, W, block_h, block_w)
+    return out, (xys, conics, colors, opacity, radii, valid)
+
+
+def _rlt_bwd(H, W, block_h, block_w, res, v_img):
+    import numpy as np
+
+    xys, conics, colors, opacity, radii, valid = res
+    v_xys, v_conics, v_colors, v_opacity = list_backward(
+        _mk_proj(xys, conics, radii, valid), colors, opacity, v_img,
+        H, W, block_h, block_w, layout="lanes")
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (v_xys, v_conics, v_colors, v_opacity, f0(radii), f0(valid))
+
+
+rasterize_list_t.defvjp(_rlt_fwd, _rlt_bwd)

@@ -218,15 +218,18 @@ def render(state: GaussianState, cfg: GaussianConfig,
                               proj.radii, proj.valid, cfg.H, cfg.W,
                               cfg.block_h, cfg.block_w)
         return jnp.clip(img, 0.0, 1.0)
-    if backend == "list":
+    if backend in ("list", "list_t"):
         # chunk-LIST fwd+bwd: per-tile member-chunk lists (tiny [T, N/kc]
         # top_k) + per-chunk tile-block gradient accumulation — selection
         # machinery and gradient scatter both gone (quality mode, cap-free).
-        # Fastest Morton-kept (TrainConfig.resort_every / morton_perm).
-        from ..kernels.raster_list_pallas import rasterize_list
-        img = rasterize_list(proj.xys, proj.conics, colors, opacity,
-                             proj.radii, proj.valid, cfg.H, cfg.W,
-                             cfg.block_h, cfg.block_w)
+        # 'list_t' = the lane-major kernel bodies. Fastest Morton-kept
+        # (TrainConfig.resort_every / morton_perm).
+        from ..kernels.raster_list_pallas import (rasterize_list,
+                                                  rasterize_list_t)
+        raster = rasterize_list_t if backend == "list_t" else rasterize_list
+        img = raster(proj.xys, proj.conics, colors, opacity,
+                     proj.radii, proj.valid, cfg.H, cfg.W,
+                     cfg.block_h, cfg.block_w)
         return jnp.clip(img, 0.0, 1.0)
     if cfg.bin_method == "pallas":
         from ..kernels.binning_pallas import bin_gaussians_pallas

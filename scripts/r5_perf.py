@@ -243,6 +243,16 @@ def main(argv):
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
 
+        cfg_t = dataclasses.replace(cfg, raster_backend="list_t")
+        try:
+            dt_t, _ = marginal_step(cfg_t, tcfg_m, gt_j, N)
+            print(json.dumps({"config": "train_list_t_morton", "train_step_ms":
+                              round(dt_t * 1e3, 3)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"config": "train_list_t_morton",
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+
         try:
             dt_ln, _ = marginal_step(cfg_l, tcfg, gt_j, N)
             print(json.dumps({"config": "train_list_id_order", "train_step_ms":

@@ -116,6 +116,23 @@ class TestListVJP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-4, err_msg=name)
 
+    def test_lane_major_grads_match_dense(self):
+        """rasterize_list_t's fwd+bwd (lane-major bodies) must agree with
+        the dense pair to accumulation-order limits."""
+        from gaussianimage_plus_tpu.kernels.raster_list_pallas import (
+            rasterize_list_t)
+        xy, cov, colors, opacity, H, W = make_scene(n=120, seed=40)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        perm = morton_perm(proj.xys, proj.valid, H, W)
+        proj_p = _perm_proj(proj, perm)
+        g_t = self._grads(rasterize_list_t, proj_p, colors[perm],
+                          opacity[perm], H, W)
+        g_d = self._grads(rasterize_dense, proj_p, colors[perm],
+                          opacity[perm], H, W)
+        for a, b, name in zip(g_t, g_d, ["xys", "conics", "colors", "opacity"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4, err_msg=name)
+
     def test_backward_overflow_falls_back_dense(self):
         """mtb=1 overflows every chunk — the lax.cond fallback must keep
         gradients exact."""
