@@ -584,16 +584,20 @@ def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
         tlst = jnp.pad(tlst, ((0, 0), (0, mtb - tlst.shape[1])))
     tcnt = jnp.minimum(cnt_full, mtb)
     overflow = jnp.any(cnt_full > mtb)
+    # pad past-the-count entries with the chunk's LAST live tile block so the
+    # v_out index_map is a plain ref read (same block -> no refetch, compute
+    # skipped by the j < tcnt guard; keeps index_map free of arithmetic)
+    last = jnp.take_along_axis(
+        tlst, jnp.maximum(tcnt - 1, 0)[:, None], axis=1)   # [nch, 1]
+    j_ids = jnp.arange(mtb, dtype=jnp.int32)[None, :]
+    tlst = jnp.where(j_ids < jnp.maximum(tcnt, 1)[:, None], tlst, last)
 
     vout_t = jnp.swapaxes(_image_to_tiles(v_img, tb_x, tb_y, block_h, block_w), 1, 2)
     vout_pad = jnp.zeros((T, 8, P), jnp.float32).at[:, 0:3, :].set(vout_t)
 
     def _list_impl(_):
         vout_spec = pl.BlockSpec(
-            (tbs, 8, P),
-            lambda c, j, tlst, tcnt: (
-                tlst[c, jnp.minimum(j, jnp.maximum(tcnt[c] - 1, 0))],
-                0, 0))
+            (tbs, 8, P), lambda c, j, tlst, tcnt: (tlst[c, j], 0, 0))
         if layout == "lanes":
             table3 = jnp.swapaxes(table.reshape(nch, kc, COLS), 1, 2)
             bbox3 = jnp.swapaxes(bbox.reshape(nch, kc, 4), 1, 2)
