@@ -32,6 +32,9 @@ def main(argv):
     p.add_argument("--with_2k", action="store_true")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_decode", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="CPU smoke mode: micro image/N/scan lengths — "
+                        "validates every code path without hardware")
     p.add_argument("--timeout", type=float, default=2400.0)
     args = p.parse_args(argv)
 
@@ -58,13 +61,19 @@ def main(argv):
                                               train_chunk)
     from gaussianimage_plus_tpu.utils.image_io import load_image
 
-    gt = load_image("/root/reference/datasets/kodak/kodim01.png")
+    if args.tiny:
+        gt = np.random.default_rng(0).uniform(
+            0, 1, (48, 64, 3)).astype(np.float32)
+        N, n_s, n_l, lens = 96, 2, 6, (2, 6)
+    else:
+        gt = load_image("/root/reference/datasets/kodak/kodim01.png")
+        N, n_s, n_l, lens = 5000, 16, 116, (20, 120)
     H, W = gt.shape[:2]
-    N = 5000
     gt_j = jnp.asarray(gt)
 
     tcfg = TrainConfig(iterations=1000, lr=0.018)
-    cfg = GaussianConfig(H=H, W=W, max_num_points=N, tile_cap=256)
+    cfg = GaussianConfig(H=H, W=W, max_num_points=N,
+                         tile_cap=48 if args.tiny else 256)
 
     # ---------------- decode section ----------------
     from gaussianimage_plus_tpu.compress import (QuantConfig, compress_wo_ec,
@@ -89,7 +98,7 @@ def main(argv):
             return img, img[0, 0, 0] * 1e-7
         return chained
 
-    def marginal_time(chained, arg, n_small=16, n_large=116, trials=3):
+    def marginal_time(chained, arg, n_small=n_s, n_large=n_l, trials=3):
         def make_scan_n(n):
             @jax.jit
             def decode_n(e, fb0):
@@ -202,7 +211,7 @@ def main(argv):
 
     # ---------------- train section ----------------
     if not args.skip_train:
-        def marginal_step(cfg_, tcfg_, gt_, n_pts, lens=(20, 120)):
+        def marginal_step(cfg_, tcfg_, gt_, n_pts, lens=lens):
             ts = init_train_state(cfg_, tcfg_, n_pts, seed=0)
             ts, _ = train_chunk(ts, gt_, cfg_, tcfg_, 100, True, False)
             _ = np.asarray(ts.gaussians.params.xyz)
