@@ -146,6 +146,12 @@ def main():
         img = decompress_wo_ec(bundle, e, bound_m, cfg, qcfg, backend="list")
         return img, img[0, 0, 0] * 1e-7
 
+    def list_t_decode_chained(e, feedback):
+        e = e._replace(quant_means=e.quant_means + feedback)
+        img = decompress_wo_ec(bundle, e, bound_m, cfg, qcfg,
+                               backend="list_t")
+        return img, img[0, 0, 0] * 1e-7
+
     def make_scan_n(chained, n):
         @jax.jit
         def decode_n(e, fb0):
@@ -198,9 +204,16 @@ def main():
     except Exception as e:
         dt_full_list = float("inf")
         list_err = f"{type(e).__name__}: {e}"[:200]
+    try:
+        dt_full_list_t = marginal_time(list_t_decode_chained, enc_m)
+        list_t_err = None
+    except Exception as e:
+        dt_full_list_t = float("inf")
+        list_t_err = f"{type(e).__name__}: {e}"[:200]
     # decode_fps_full = best exact per-frame full decode (protocol honored
     # by all; the list/range sweeps are the codec's own decoder designs)
-    dt_full = min(dt_full_binned, dt_full_sweep, dt_full_range, dt_full_list)
+    dt_full = min(dt_full_binned, dt_full_sweep, dt_full_range, dt_full_list,
+                  dt_full_list_t)
     fps_full = 1.0 / dt_full
 
     # ---- on-hardware kernel parity: compiled Pallas vs XLA rasterizer ----
@@ -229,6 +242,13 @@ def main():
         list_parity = float(_jnp.max(_jnp.abs(img_l - img_d)))
     else:
         list_parity = -1.0
+    if list_t_err is None:
+        img_lt = jax.jit(lambda e: decompress_wo_ec(bundle, e, bound_m, cfg,
+                                                    qcfg,
+                                                    backend="list_t"))(enc_m)
+        list_t_parity = float(_jnp.max(_jnp.abs(img_lt - img_d)))
+    else:
+        list_t_parity = -1.0
 
     # ---- train-step throughput (fwd+bwd+adam; excludes the 1-per-100-step
     # prune, which cancels out of the marginal delta anyway) ----
@@ -267,9 +287,11 @@ def main():
         "decode_fps_full_sweep": round(1.0 / dt_full_sweep, 2),
         "decode_fps_full_range": round(1.0 / dt_full_range, 2),
         "decode_fps_full_list": round(1.0 / dt_full_list, 2),
+        "decode_fps_full_list_t": round(1.0 / dt_full_list_t, 2),
         **({"sweep_error": sweep_err} if sweep_err else {}),
         **({"range_error": range_err} if range_err else {}),
         **({"list_error": list_err} if list_err else {}),
+        **({"list_t_error": list_t_err} if list_t_err else {}),
         "train_mpixels_per_s": round(mpix_s, 2),
         "train_step_ms": round(dt_step * 1e3, 3),
         "train_step_scope": "fwd+bwd+adam (marginal; excludes 1-per-100 prune)",
@@ -278,6 +300,7 @@ def main():
         "prepared_vs_full_decode_maxdiff": decode_parity,
         "sweep_vs_full_decode_maxdiff": sweep_parity,
         "list_vs_full_decode_maxdiff": list_parity,
+        "list_t_vs_full_decode_maxdiff": list_t_parity,
         "platform": jax.default_backend(),
         "image": f"{W}x{H}",
         "num_points": N,

@@ -64,6 +64,8 @@ from .raster_dense_pallas import dense_backward
 KC = 64     # gaussian slots per chunk
 KC_T = 128  # chunk slots for the lane-major (list_t) layout: full vreg width
 TB = 8      # tiles per fwd grid step
+TB_T = 16   # tiles per grid step, lane-major fwd (measured best at Kodak:
+            # 1.43 ms full decode vs 2.25 at tb=8 — r5_perf 2026-08-20)
 LMAX = 16   # static per-tile chunk-list width (residual interval beyond)
 MTB = 64    # static per-chunk tile-block-list width (cond fallback beyond)
 
@@ -332,7 +334,7 @@ def rasterize_list_t_pallas(proj: Projected, colors: jax.Array,
     narrow per-gaussian math all but disappears."""
     kc = KC_T if kc is None else kc
     lmax = LMAX if lmax is None else lmax
-    tb = TB if tb is None else tb
+    tb = TB_T if tb is None else tb
     table, bbox, member, tb_x, tb_y, T, N, Np = _table_bbox(
         proj, colors, opacity, H, W, block_h, block_w, kc)
     P = block_h * block_w
