@@ -273,6 +273,32 @@ def main():
     dt_step = delta / 100 if delta > 0.005 else times[120] / 120
     mpix_s = H * W / dt_step / 1e6
 
+    # round-5 fast trainer: chunk-list lane-major backend + Morton-kept
+    # stream (opt-in; binned stays the reference-parity default)
+    try:
+        import dataclasses as _dc
+        cfg_lt = _dc.replace(cfg, raster_backend="list_t")
+        tcfg_lt = tcfg.replace(morton_resort=True)
+        ts_l = init_train_state(cfg_lt, tcfg_lt, N, seed=0)
+        ts_l, _ = train_chunk(ts_l, gt_j, cfg_lt, tcfg_lt, 100, True, False)
+        _ = np.asarray(ts_l.gaussians.params.xyz)
+        tl = {}
+        for n in (20, 120):
+            best = float("inf")
+            tsn, _ = train_chunk(ts_l, gt_j, cfg_lt, tcfg_lt, n, False, False)
+            _ = np.asarray(tsn.gaussians.params.xyz)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                tsn, _ = train_chunk(ts_l, gt_j, cfg_lt, tcfg_lt, n, False, False)
+                _ = np.asarray(tsn.gaussians.params.xyz)
+                best = min(best, time.perf_counter() - t0)
+            tl[n] = best
+        dl = tl[120] - tl[20]
+        dt_lt = dl / 100 if dl > 0.005 else tl[120] / 120
+        lt_extra = {"train_step_list_t_ms": round(dt_lt * 1e3, 3)}
+    except Exception as e:
+        lt_extra = {"train_step_list_t_error": f"{type(e).__name__}: {e}"[:200]}
+
     out = {
         "metric": "decode_fps",
         "value": round(fps, 2),
@@ -295,6 +321,7 @@ def main():
         "train_mpixels_per_s": round(mpix_s, 2),
         "train_step_ms": round(dt_step * 1e3, 3),
         "train_step_scope": "fwd+bwd+adam (marginal; excludes 1-per-100 prune)",
+        **lt_extra,
         "render_ms": round(dt_render * 1e3, 3),
         "pallas_vs_xla_maxdiff": kernel_parity,
         "prepared_vs_full_decode_maxdiff": decode_parity,
