@@ -152,10 +152,17 @@ def main(argv):
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
 
-        shapes = (("list", 64, 16, 8), ("list", 128, 8, 8),
-                  ("list", 32, 24, 8), ("list", 64, 16, 16),
-                  ("list_t", 128, 8, 8), ("list_t", 128, 8, 16),
-                  ("list_t", 64, 16, 8))
+        shapes_env = os.environ.get("R5_SHAPES", "")
+        if shapes_env:  # e.g. "list_t:128:8:32,list_t:256:8:16"
+            shapes = tuple(
+                (b, int(kc), int(l), int(tb))
+                for b, kc, l, tb in (s.split(":")
+                                     for s in shapes_env.split(",")))
+        else:
+            shapes = (("list", 64, 16, 8), ("list", 128, 8, 8),
+                      ("list", 32, 24, 8), ("list", 64, 16, 16),
+                      ("list_t", 128, 8, 8), ("list_t", 128, 8, 16),
+                      ("list_t", 64, 16, 8))
         for backend, kc, lmax, tb in shapes:
             try:
                 rlp.KC, rlp.KC_T, rlp.LMAX, rlp.TB = kc, kc, lmax, tb
