@@ -26,7 +26,7 @@ def main(argv):
                    help="optional ground-truth image for PSNR/MS-SSIM")
     p.add_argument("--time", action="store_true",
                    help="measure bin-once decode FPS (marginal protocol)")
-    p.add_argument("--backend", choices=["binned", "sweep", "range", "list"],
+    p.add_argument("--backend", choices=["binned", "sweep", "range", "list", "list_t"],
                    default=None,
                    help="render path: 'sweep'/'range'/'list' = the chunk-skip"
                         " / chunk-range / chunk-list sweep decoders (fastest "
