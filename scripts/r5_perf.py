@@ -269,14 +269,9 @@ def main(argv):
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
 
-        try:
-            dt_ln, _ = marginal_step(cfg_l, tcfg, gt_j, N)
-            print(json.dumps({"config": "train_list_id_order", "train_step_ms":
-                              round(dt_ln * 1e3, 3)}), flush=True)
-        except Exception as e:
-            print(json.dumps({"config": "train_list_id_order",
-                              "error": f"{type(e).__name__}: {e}"[:200]}),
-                  flush=True)
+        # (id-order A/B retired: the trainer now auto-resorts for
+        # sweep-family backends — the 93 ms id-order row is preserved in
+        # results/r5_perf.jsonl from the pre-auto-resort measurement)
 
         if ts_b is not None and ts_l is not None:
             from gaussianimage_plus_tpu.models import render
