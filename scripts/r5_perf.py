@@ -165,7 +165,7 @@ def main(argv):
                       ("list_t", 64, 16, 8))
         for backend, kc, lmax, tb in shapes:
             try:
-                rlp.KC, rlp.KC_T, rlp.LMAX, rlp.TB = kc, kc, lmax, tb
+                rlp.KC, rlp.KC_T, rlp.LMAX, rlp.TB, rlp.TB_T = kc, kc, lmax, tb, tb
                 dt = marginal_time(make_chained(backend), enc_m)
                 img_l = np.asarray(jax.jit(
                     lambda e: decompress_wo_ec(bundle, e, bound_m, cfg, qcfg,
@@ -180,7 +180,7 @@ def main(argv):
                 print(json.dumps({"config": f"decode_full_{backend}_kc{kc}_l{lmax}_tb{tb}",
                                   "error": f"{type(e).__name__}: {e}"[:200]}),
                       flush=True)
-        rlp.KC, rlp.KC_T, rlp.LMAX, rlp.TB = 64, 128, 16, 8
+        rlp.KC, rlp.KC_T, rlp.LMAX, rlp.TB, rlp.TB_T = 64, 128, 16, 8, 16
 
         # prep isolation: dequantize + project + member matrix + chunk lists
         # (everything the list decode does except the render kernel)
