@@ -173,18 +173,33 @@ def _fwd_body(raw, bbox, phi, tx, ty, block_h, block_w):
         precision=MM_PRECISION)                            # [8, P]
 
 
+# Keep any single SMEM prefetch array under this many elements: the 2K
+# point showed every fwd variant with lst over ~64K elements failing
+# server-side compile (HTTP 500) while the bwd's 40K-element table is fine
+# — consistent with a 16-bit SMEM indexing limit. Forward calls stripe the
+# tile range so each pallas_call's lst stays below this.
+SMEM_LIST_ELEMS = 32768
+
+
+def _stripe_tiles(T: int, tbs: int, lmax: int) -> int:
+    per = max(1, SMEM_LIST_ELEMS // max(lmax, 1))
+    per = max(tbs, (per // tbs) * tbs)
+    return min(T, per)
+
+
 def _make_list_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
-                      kc: int):
+                      kc: int, t0: int = 0):
     def kernel(lst_ref, cnt_ref, lo2_ref, hi2_ref,
                table_ref, bbox_ref, phi_ref, out_ref):
         tblk = pl.program_id(0)
         phi = phi_ref[...]                                 # [8, P]
 
         for i in range(tb):
-            t = tblk * tb + i
+            t = tblk * tb + i                              # stripe-local
+            tg = t + t0                                    # global tile id
             out_ref[i] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
-            tx = (t % tb_x).astype(jnp.float32)
-            ty = (t // tb_x).astype(jnp.float32)
+            tx = (tg % tb_x).astype(jnp.float32)
+            ty = (tg // tb_x).astype(jnp.float32)
 
             def visit(c, i=i, tx=tx, ty=ty):
                 raw = table_ref[pl.ds(c * kc, kc), :]      # [kc, COLS]
@@ -227,29 +242,37 @@ def rasterize_list_pallas(proj: Projected, colors: jax.Array,
     P = block_h * block_w
     lst, cnt, lo2, hi2 = _chunk_lists(member, N, Np, kc, lmax)
     tbs = tb if T % tb == 0 else 1
+    phi = _phi_block(block_h, block_w)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(T // tbs,),
-        in_specs=[
-            pl.BlockSpec((Np, COLS), lambda tb_i, *_: (0, 0)),
-            pl.BlockSpec((Np, 4), lambda tb_i, *_: (0, 0)),
-            pl.BlockSpec((8, P), lambda tb_i, *_: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tbs, 8, P), lambda tb_i, *_: (tb_i, 0, 0)),
-    )
-    out = pl.pallas_call(
-        _make_list_kernel(tb_x, block_h, block_w, tbs, kc),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
-        interpret=_interpret(),
-    )(lst, cnt, lo2, hi2, table, bbox, _phi_block(block_h, block_w))
+    stripe = _stripe_tiles(T, tbs, lmax)
+    outs = []
+    for s0 in range(0, T, stripe):
+        Ts = min(stripe, T - s0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(Ts // tbs,),
+            in_specs=[
+                pl.BlockSpec((Np, COLS), lambda tb_i, *_: (0, 0)),
+                pl.BlockSpec((Np, 4), lambda tb_i, *_: (0, 0)),
+                pl.BlockSpec((8, P), lambda tb_i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tbs, 8, P),
+                                   lambda tb_i, *_: (tb_i, 0, 0)),
+        )
+        outs.append(pl.pallas_call(
+            _make_list_kernel(tb_x, block_h, block_w, tbs, kc, t0=s0),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Ts, 8, P), jnp.float32),
+            interpret=_interpret(),
+        )(lst[s0:s0 + Ts], cnt[s0:s0 + Ts], lo2[s0:s0 + Ts],
+          hi2[s0:s0 + Ts], table, bbox, phi))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)
     return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
 
 
 def _make_list_t_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
-                        kc: int):
+                        kc: int, t0: int = 0):
     """Lane-major list forward: the chunked attribute table arrives as
     [nch, COLS, kc] (gaussians on the LANE axis), so every per-gaussian
     scalar expression is a [1, kc] full-lane op instead of a [kc, 1]
@@ -264,10 +287,11 @@ def _make_list_t_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
         phi = phi_ref[...]                                 # [8, P]
 
         for i in range(tb):
-            t = tblk * tb + i
+            t = tblk * tb + i                              # stripe-local
+            tg = t + t0                                    # global tile id
             out_ref[i] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
-            tx = (t % tb_x).astype(jnp.float32)
-            ty = (t // tb_x).astype(jnp.float32)
+            tx = (tg % tb_x).astype(jnp.float32)
+            ty = (tg // tb_x).astype(jnp.float32)
 
             def visit(c, i=i, tx=tx, ty=ty):
                 raw = table_ref[c]                         # [COLS, kc]
@@ -343,23 +367,31 @@ def rasterize_list_t_pallas(proj: Projected, colors: jax.Array,
     table3 = jnp.swapaxes(table.reshape(nch, kc, COLS), 1, 2)  # [nch, COLS, kc]
     bbox3 = jnp.swapaxes(bbox.reshape(nch, kc, 4), 1, 2)       # [nch, 4, kc]
     tbs = tb if T % tb == 0 else 1
+    phi = _phi_block(block_h, block_w)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(T // tbs,),
-        in_specs=[
-            pl.BlockSpec((nch, COLS, kc), lambda tb_i, *_: (0, 0, 0)),
-            pl.BlockSpec((nch, 4, kc), lambda tb_i, *_: (0, 0, 0)),
-            pl.BlockSpec((8, P), lambda tb_i, *_: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tbs, 8, P), lambda tb_i, *_: (tb_i, 0, 0)),
-    )
-    out = pl.pallas_call(
-        _make_list_t_kernel(tb_x, block_h, block_w, tbs, kc),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
-        interpret=_interpret(),
-    )(lst, cnt, lo2, hi2, table3, bbox3, _phi_block(block_h, block_w))
+    stripe = _stripe_tiles(T, tbs, lmax)
+    outs = []
+    for s0 in range(0, T, stripe):
+        Ts = min(stripe, T - s0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(Ts // tbs,),
+            in_specs=[
+                pl.BlockSpec((nch, COLS, kc), lambda tb_i, *_: (0, 0, 0)),
+                pl.BlockSpec((nch, 4, kc), lambda tb_i, *_: (0, 0, 0)),
+                pl.BlockSpec((8, P), lambda tb_i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tbs, 8, P),
+                                   lambda tb_i, *_: (tb_i, 0, 0)),
+        )
+        outs.append(pl.pallas_call(
+            _make_list_t_kernel(tb_x, block_h, block_w, tbs, kc, t0=s0),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Ts, 8, P), jnp.float32),
+            interpret=_interpret(),
+        )(lst[s0:s0 + Ts], cnt[s0:s0 + Ts], lo2[s0:s0 + Ts],
+          hi2[s0:s0 + Ts], table3, bbox3, phi))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)
     return _tiles_to_image(tiles, H, W, tb_x, tb_y, block_h, block_w)
 

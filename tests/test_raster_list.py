@@ -69,6 +69,27 @@ class TestListForward:
         np.testing.assert_allclose(np.asarray(img_tm), np.asarray(img_d),
                                    atol=2e-5, rtol=1e-5)
 
+    def test_striped_forward_exact(self):
+        """Forcing a tiny SMEM list budget splits the forward into several
+        tile-stripe pallas_calls — must stay exact (the 2K fix: >64K-element
+        SMEM prefetch arrays fail server-side compile)."""
+        from gaussianimage_plus_tpu.kernels import raster_list_pallas as rlp
+        xy, cov, colors, opacity, H, W = make_scene(n=120, seed=41)
+        proj = project_gaussians_2d_covariance(xy, cov, H, W)
+        img_d = rasterize_dense_pallas(proj, colors, opacity, H, W)
+        old = rlp.SMEM_LIST_ELEMS
+        try:
+            rlp.SMEM_LIST_ELEMS = 16  # stripe = 1-2 tile blocks
+            img_s = rasterize_list_pallas(proj, colors, opacity, H, W, kc=32)
+            img_st = rlp.rasterize_list_t_pallas(proj, colors, opacity,
+                                                 H, W, kc=32)
+        finally:
+            rlp.SMEM_LIST_ELEMS = old
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_d),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(img_st), np.asarray(img_d),
+                                   atol=1e-5, rtol=1e-5)
+
     def test_invalid_culled(self):
         xy, cov, colors, opacity, H, W = make_scene(n=20, seed=34)
         cov = cov.at[0].set(jnp.array([1.0, 2.0, 1.0]))  # det<0 -> invalid
