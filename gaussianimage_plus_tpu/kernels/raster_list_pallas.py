@@ -173,12 +173,12 @@ def _fwd_body(raw, bbox, phi, tx, ty, block_h, block_w):
         precision=MM_PRECISION)                            # [8, P]
 
 
-# Keep any single SMEM prefetch array under this many elements: the 2K
-# point showed every fwd variant with lst over ~64K elements failing
-# server-side compile (HTTP 500) while the bwd's 40K-element table is fine
-# — consistent with a 16-bit SMEM indexing limit. Forward calls stripe the
-# tile range so each pallas_call's lst stays below this.
-SMEM_LIST_ELEMS = 32768
+# SMEM is 1.0 MB and 2D SMEM prefetch arrays pad their minor dimension to
+# 128 elements (512 B per row — measured: s32[2048,16] allocated 1.00 MB
+# and broke every 2K-point forward compile). All prefetch LISTS are
+# therefore passed FLAT (1D, unpadded) with the flat index computed in the
+# kernel; striping remains as a safety valve for truly huge tile counts.
+SMEM_LIST_ELEMS = 98304  # 384 KB of flat s32 per stripe
 
 
 def _stripe_tiles(T: int, tbs: int, lmax: int) -> int:
@@ -188,7 +188,7 @@ def _stripe_tiles(T: int, tbs: int, lmax: int) -> int:
 
 
 def _make_list_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
-                      kc: int, t0: int = 0):
+                      kc: int, lmax: int, t0: int = 0):
     def kernel(lst_ref, cnt_ref, lo2_ref, hi2_ref,
                table_ref, bbox_ref, phi_ref, out_ref):
         tblk = pl.program_id(0)
@@ -208,7 +208,7 @@ def _make_list_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
                                         block_h, block_w)
 
             def body_list(j, _, t=t, visit=visit):
-                visit(lst_ref[t, j])
+                visit(lst_ref[t * lmax + j])               # flat 1D list
                 return 0
 
             def body_rng(c, _, visit=visit):
@@ -260,11 +260,11 @@ def rasterize_list_pallas(proj: Projected, colors: jax.Array,
                                    lambda tb_i, *_: (tb_i, 0, 0)),
         )
         outs.append(pl.pallas_call(
-            _make_list_kernel(tb_x, block_h, block_w, tbs, kc, t0=s0),
+            _make_list_kernel(tb_x, block_h, block_w, tbs, kc, lmax, t0=s0),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((Ts, 8, P), jnp.float32),
             interpret=_interpret(),
-        )(lst[s0:s0 + Ts], cnt[s0:s0 + Ts], lo2[s0:s0 + Ts],
+        )(lst[s0:s0 + Ts].reshape(-1), cnt[s0:s0 + Ts], lo2[s0:s0 + Ts],
           hi2[s0:s0 + Ts], table, bbox, phi))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)
@@ -272,7 +272,7 @@ def rasterize_list_pallas(proj: Projected, colors: jax.Array,
 
 
 def _make_list_t_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
-                        kc: int, t0: int = 0):
+                        kc: int, lmax: int, t0: int = 0):
     """Lane-major list forward: the chunked attribute table arrives as
     [nch, COLS, kc] (gaussians on the LANE axis), so every per-gaussian
     scalar expression is a [1, kc] full-lane op instead of a [kc, 1]
@@ -331,7 +331,7 @@ def _make_list_t_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
                     precision=MM_PRECISION)                # [8, P]
 
             def body_list(j, _, t=t, visit=visit):
-                visit(lst_ref[t, j])
+                visit(lst_ref[t * lmax + j])               # flat 1D list
                 return 0
 
             def body_rng(c, _, visit=visit):
@@ -385,11 +385,11 @@ def rasterize_list_t_pallas(proj: Projected, colors: jax.Array,
                                    lambda tb_i, *_: (tb_i, 0, 0)),
         )
         outs.append(pl.pallas_call(
-            _make_list_t_kernel(tb_x, block_h, block_w, tbs, kc, t0=s0),
+            _make_list_t_kernel(tb_x, block_h, block_w, tbs, kc, lmax, t0=s0),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((Ts, 8, P), jnp.float32),
             interpret=_interpret(),
-        )(lst[s0:s0 + Ts], cnt[s0:s0 + Ts], lo2[s0:s0 + Ts],
+        )(lst[s0:s0 + Ts].reshape(-1), cnt[s0:s0 + Ts], lo2[s0:s0 + Ts],
           hi2[s0:s0 + Ts], table3, bbox3, phi))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     tiles = jnp.swapaxes(out[:, 0:3, :], 1, 2)
@@ -397,7 +397,7 @@ def rasterize_list_t_pallas(proj: Projected, colors: jax.Array,
 
 
 def _make_list_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
-                          kc: int):
+                          kc: int, mtb: int):
     """Per-chunk gradient payload over the chunk's tile-block list.
 
     Grid (n_chunks, MTB); v_out blocks stream in via the prefetch-indexed
@@ -425,7 +425,7 @@ def _make_list_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
             opac = raw[:, 8:9]
             valid = raw[:, COLS - 1:COLS]
             rgb = raw[:, 5:8]                              # [kc, 3]
-            tbi = tlst_ref[c, j]
+            tbi = tlst_ref[c * mtb + j]                # flat 1D list
 
             acc = jnp.zeros((raw.shape[0], COLS), jnp.float32)
             for i in range(tb):
@@ -489,7 +489,7 @@ def _make_list_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
 
 
 def _make_list_t_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
-                            kc: int):
+                            kc: int, mtb: int):
     """Lane-major list backward: same per-chunk tile-block streaming as
     _make_list_bwd_kernel, with the whole gradient chain in the transposed
     [*, kc] layout ([P, kc] pixel terms, [1, kc]/[8, kc] per-gaussian
@@ -519,7 +519,7 @@ def _make_list_t_bwd_kernel(tb_x: int, block_h: int, block_w: int, tb: int,
             rgb8 = jnp.concatenate(
                 [raw[5:8], jnp.zeros((5, raw.shape[1]), raw.dtype)],
                 axis=0)                                    # [8, kc] rows 0..2
-            tbi = tlst_ref[c, j]
+            tbi = tlst_ref[c * mtb + j]                # flat 1D list
 
             acc = jnp.zeros((COLS, raw.shape[1]), jnp.float32)
             for i in range(tb):
@@ -631,7 +631,8 @@ def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
 
     def _list_impl(_):
         vout_spec = pl.BlockSpec(
-            (tbs, 8, P), lambda c, j, tlst, tcnt: (tlst[c, j], 0, 0))
+            (tbs, 8, P),
+            lambda c, j, tlst, tcnt: (tlst[c * mtb + j], 0, 0))
         if layout == "lanes":
             table3 = jnp.swapaxes(table.reshape(nch, kc, COLS), 1, 2)
             bbox3 = jnp.swapaxes(bbox.reshape(nch, kc, 4), 1, 2)
@@ -648,12 +649,12 @@ def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
                                        lambda c, j, *_: (c, 0, 0)),
             )
             payload3 = pl.pallas_call(
-                _make_list_t_bwd_kernel(tb_x, block_h, block_w, tbs, kc),
+                _make_list_t_bwd_kernel(tb_x, block_h, block_w, tbs, kc, mtb),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((nch, COLS, kc), jnp.float32),
                 interpret=_interpret(),
-            )(tlst, tcnt, table3, bbox3, _phi_block(block_h, block_w),
-              vout_pad)
+            )(tlst.reshape(-1), tcnt, table3, bbox3,
+              _phi_block(block_h, block_w), vout_pad)
             return jnp.swapaxes(payload3, 1, 2).reshape(Np, COLS)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -667,11 +668,12 @@ def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
             out_specs=pl.BlockSpec((kc, COLS), lambda c, j, *_: (c, 0)),
         )
         return pl.pallas_call(
-            _make_list_bwd_kernel(tb_x, block_h, block_w, tbs, kc),
+            _make_list_bwd_kernel(tb_x, block_h, block_w, tbs, kc, mtb),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((Np, COLS), jnp.float32),
             interpret=_interpret(),
-        )(tlst, tcnt, table, bbox, _phi_block(block_h, block_w), vout_pad)
+        )(tlst.reshape(-1), tcnt, table, bbox,
+          _phi_block(block_h, block_w), vout_pad)
 
     def _dense_impl(_):
         v_xys, v_conics, v_colors, v_opacity = dense_backward(
