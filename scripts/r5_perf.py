@@ -32,11 +32,16 @@ def main(argv):
     p.add_argument("--with_2k", action="store_true")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_decode", action="store_true")
+    p.add_argument("--only_2k", action="store_true",
+                   help="skip decode + Kodak train A/B; run just the 2K cell")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke mode: micro image/N/scan lengths — "
                         "validates every code path without hardware")
     p.add_argument("--timeout", type=float, default=2400.0)
     args = p.parse_args(argv)
+    if args.only_2k:
+        args.skip_decode = True
+        args.with_2k = True
 
     import threading
 
@@ -237,33 +242,38 @@ def main(argv):
             step = d / (lens[1] - lens[0]) if d > 0.005 else times[lens[1]] / lens[1]
             return step, ts
 
+        ts_b = ts_l = None
+        cfg_l = dataclasses.replace(cfg, raster_backend="list")
+        tcfg_m = tcfg.replace(morton_resort=True)
         try:
-            dt_b, ts_b = marginal_step(cfg, tcfg, gt_j, N)
-            print(json.dumps({"config": "train_binned_cap256", "train_step_ms":
-                              round(dt_b * 1e3, 3)}), flush=True)
+            if not args.only_2k:
+                dt_b, ts_b = marginal_step(cfg, tcfg, gt_j, N)
+                print(json.dumps({"config": "train_binned_cap256",
+                                  "train_step_ms": round(dt_b * 1e3, 3)}),
+                      flush=True)
         except Exception as e:
-            ts_b = None
             print(json.dumps({"config": "train_binned_cap256",
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
 
-        cfg_l = dataclasses.replace(cfg, raster_backend="list")
-        tcfg_m = tcfg.replace(morton_resort=True)
         try:
-            dt_l, ts_l = marginal_step(cfg_l, tcfg_m, gt_j, N)
-            print(json.dumps({"config": "train_list_morton", "train_step_ms":
-                              round(dt_l * 1e3, 3)}), flush=True)
+            if not args.only_2k:
+                dt_l, ts_l = marginal_step(cfg_l, tcfg_m, gt_j, N)
+                print(json.dumps({"config": "train_list_morton",
+                                  "train_step_ms": round(dt_l * 1e3, 3)}),
+                      flush=True)
         except Exception as e:
-            ts_l = None
             print(json.dumps({"config": "train_list_morton",
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
 
         cfg_t = dataclasses.replace(cfg, raster_backend="list_t")
         try:
-            dt_t, _ = marginal_step(cfg_t, tcfg_m, gt_j, N)
-            print(json.dumps({"config": "train_list_t_morton", "train_step_ms":
-                              round(dt_t * 1e3, 3)}), flush=True)
+            if not args.only_2k:
+                dt_t, _ = marginal_step(cfg_t, tcfg_m, gt_j, N)
+                print(json.dumps({"config": "train_list_t_morton",
+                                  "train_step_ms": round(dt_t * 1e3, 3)}),
+                      flush=True)
         except Exception as e:
             print(json.dumps({"config": "train_list_t_morton",
                               "error": f"{type(e).__name__}: {e}"[:200]}),
@@ -298,7 +308,7 @@ def main(argv):
                                   "binned_2k_ref_ms": 87.9}), flush=True)
             except Exception as e:
                 print(json.dumps({"config": "train_list_2k",
-                                  "error": f"{type(e).__name__}: {e}"[:200]}),
+                                  "error": f"{type(e).__name__}: {e}"[-4000:]}),
                       flush=True)
             finally:
                 rlp.LMAX = 16
