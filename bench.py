@@ -76,7 +76,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from gaussianimage_plus_tpu.models import GaussianConfig, init_state, render
+    from gaussianimage_plus_tpu.models import (GaussianConfig, init_state,
+                                               render,
+                                               resolve_backend as _resolve_backend)
     from gaussianimage_plus_tpu.train import TrainConfig, init_train_state, train_chunk
     from gaussianimage_plus_tpu.utils.image_io import load_image
 
@@ -273,31 +275,31 @@ def main():
     dt_step = delta / 100 if delta > 0.005 else times[120] / 120
     mpix_s = H * W / dt_step / 1e6
 
-    # round-5 fast trainer: chunk-list lane-major backend + Morton-kept
-    # stream (opt-in; binned stays the reference-parity default)
+    # A/B reference cell: the binned pair explicitly (the default now
+    # resolves 'auto' -> the lane-major chunk-list 'list_t' on TPU, which
+    # beat binned at both measured points — r5_perf 2026-08-20)
     try:
         import dataclasses as _dc
-        cfg_lt = _dc.replace(cfg, raster_backend="list_t")
-        tcfg_lt = tcfg.replace(morton_resort=True)
-        ts_l = init_train_state(cfg_lt, tcfg_lt, N, seed=0)
-        ts_l, _ = train_chunk(ts_l, gt_j, cfg_lt, tcfg_lt, 100, True, False)
+        cfg_bn = _dc.replace(cfg, raster_backend="pallas")
+        ts_l = init_train_state(cfg_bn, tcfg, N, seed=0)
+        ts_l, _ = train_chunk(ts_l, gt_j, cfg_bn, tcfg, 100, True, False)
         _ = np.asarray(ts_l.gaussians.params.xyz)
         tl = {}
         for n in (20, 120):
             best = float("inf")
-            tsn, _ = train_chunk(ts_l, gt_j, cfg_lt, tcfg_lt, n, False, False)
+            tsn, _ = train_chunk(ts_l, gt_j, cfg_bn, tcfg, n, False, False)
             _ = np.asarray(tsn.gaussians.params.xyz)
             for _ in range(3):
                 t0 = time.perf_counter()
-                tsn, _ = train_chunk(ts_l, gt_j, cfg_lt, tcfg_lt, n, False, False)
+                tsn, _ = train_chunk(ts_l, gt_j, cfg_bn, tcfg, n, False, False)
                 _ = np.asarray(tsn.gaussians.params.xyz)
                 best = min(best, time.perf_counter() - t0)
             tl[n] = best
         dl = tl[120] - tl[20]
         dt_lt = dl / 100 if dl > 0.005 else tl[120] / 120
-        lt_extra = {"train_step_list_t_ms": round(dt_lt * 1e3, 3)}
+        lt_extra = {"train_step_binned_ms": round(dt_lt * 1e3, 3)}
     except Exception as e:
-        lt_extra = {"train_step_list_t_error": f"{type(e).__name__}: {e}"[:200]}
+        lt_extra = {"train_step_binned_error": f"{type(e).__name__}: {e}"[:200]}
 
     out = {
         "metric": "decode_fps",
@@ -321,6 +323,7 @@ def main():
         "train_mpixels_per_s": round(mpix_s, 2),
         "train_step_ms": round(dt_step * 1e3, 3),
         "train_step_scope": "fwd+bwd+adam (marginal; excludes 1-per-100 prune)",
+        "train_step_backend": _resolve_backend(cfg),
         **lt_extra,
         "render_ms": round(dt_render * 1e3, 3),
         "pallas_vs_xla_maxdiff": kernel_parity,
@@ -365,7 +368,8 @@ def main():
         d2 = t2[120] - t2[20]
         dt2 = d2 / 100 if d2 > 0.005 else t2[120] / 120
         t2k = {"train_2k_ms": round(dt2 * 1e3, 3),
-               "train_2k_mpixels_per_s": round(H2 * W2 / dt2 / 1e6, 2)}
+               "train_2k_mpixels_per_s": round(H2 * W2 / dt2 / 1e6, 2),
+               "train_2k_backend": _resolve_backend(cfg2)}
     except Exception as e:  # optional section must never kill the headline
         t2k = {"train_2k_error": f"{type(e).__name__}: {e}"[:200]}
 

@@ -451,7 +451,13 @@ def decompress_wo_ec(bundle: QuantizerBundle, enc: Encoding, bound: jax.Array,
                                   else backend == "sweep"))
     import dataclasses
     dcap = qcfg.decode_cap if qcfg.decode_cap > 0 else cfg.tile_cap
-    dcfg = dataclasses.replace(cfg, tile_cap=min(dcap, cfg.tile_cap))
+    # pin the binned machinery explicitly: cfg's 'auto' would otherwise
+    # resolve to the chunk-list backend (the r5 trainer default) and this
+    # branch would silently stop measuring/serving what its name says
+    dcfg = dataclasses.replace(
+        cfg, tile_cap=min(dcap, cfg.tile_cap),
+        raster_backend=("pallas" if jax.default_backend() == "tpu"
+                        else "xla"))
     return render(dummy, dcfg, cov_override=cov_elements, means_override=means,
                   colors_override=colors)
 

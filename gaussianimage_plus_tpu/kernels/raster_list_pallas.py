@@ -68,10 +68,38 @@ TB_T = 16   # tiles per grid step, lane-major fwd (measured best at Kodak:
             # 1.43 ms full decode vs 2.25 at tb=8 — r5_perf 2026-08-20)
 LMAX = 16   # static per-tile chunk-list width (residual interval beyond)
 MTB = 64    # static per-chunk tile-block-list width (cond fallback beyond)
+LMAX_BIG = 8   # list width for big tile grids (see _default_lmax)
+BIG_T = 4096   # tile-count threshold between the two lmax defaults
+
+
+def _default_lmax(H, W, block_h, block_w):
+    """Grid-aware default list width: 16 at Kodak-like grids, 8 for big
+    grids (T >= 4096) — keeps the flat SMEM prefetch lists ~0.5 MB at the
+    2K point (T=10752) and matches the hardware-verified 2K config
+    (train_list_t_2k 51.46 ms, r5_perf 2026-08-20). The residual interval
+    keeps any width exact."""
+    tb_x, tb_y = tile_bounds_for(H, W, block_h, block_w)
+    return LMAX_BIG if tb_x * tb_y >= BIG_T else LMAX
+
+
+VMEM_LIMIT = 64 * 1024 * 1024  # Mosaic per-kernel VMEM budget (headroom for
+#   big-point forwards, which hold the whole [Np, COLS] table in VMEM; v5e
+#   has 128 MiB). NOTE this does NOT govern XLA's separate 16 MiB
+#   scoped-vmem STACK cap: at the 2K point (T=10752) the row-major list
+#   bwd's [Np, COLS=16] output pads 16 -> 128 lanes under T(8,128) and blows
+#   that cap (17.16 MiB, measured r5) — use the lane-major list_t backend
+#   there, whose [nch, COLS, kc=128] output has a native 128 minor dim.
 
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _cparams():
+    """Mosaic compiler params (None under CPU interpret mode)."""
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 
 def _table_bbox(proj, colors, opacity, H, W, block_h, block_w, kc):
@@ -235,7 +263,7 @@ def rasterize_list_pallas(proj: Projected, colors: jax.Array,
     module knobs KC/LMAX/TB (resolved at call time so shape sweeps can
     retune them)."""
     kc = KC if kc is None else kc
-    lmax = LMAX if lmax is None else lmax
+    lmax = _default_lmax(H, W, block_h, block_w) if lmax is None else lmax
     tb = TB if tb is None else tb
     table, bbox, member, tb_x, tb_y, T, N, Np = _table_bbox(
         proj, colors, opacity, H, W, block_h, block_w, kc)
@@ -263,6 +291,7 @@ def rasterize_list_pallas(proj: Projected, colors: jax.Array,
             _make_list_kernel(tb_x, block_h, block_w, tbs, kc, lmax, t0=s0),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((Ts, 8, P), jnp.float32),
+            compiler_params=_cparams(),
             interpret=_interpret(),
         )(lst[s0:s0 + Ts].reshape(-1), cnt[s0:s0 + Ts], lo2[s0:s0 + Ts],
           hi2[s0:s0 + Ts], table, bbox, phi))
@@ -357,7 +386,7 @@ def rasterize_list_t_pallas(proj: Projected, colors: jax.Array,
     [P, kc] chain matches the row-major body's instruction count while the
     narrow per-gaussian math all but disappears."""
     kc = KC_T if kc is None else kc
-    lmax = LMAX if lmax is None else lmax
+    lmax = _default_lmax(H, W, block_h, block_w) if lmax is None else lmax
     tb = TB_T if tb is None else tb
     table, bbox, member, tb_x, tb_y, T, N, Np = _table_bbox(
         proj, colors, opacity, H, W, block_h, block_w, kc)
@@ -388,6 +417,7 @@ def rasterize_list_t_pallas(proj: Projected, colors: jax.Array,
             _make_list_t_kernel(tb_x, block_h, block_w, tbs, kc, lmax, t0=s0),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((Ts, 8, P), jnp.float32),
+            compiler_params=_cparams(),
             interpret=_interpret(),
         )(lst[s0:s0 + Ts].reshape(-1), cnt[s0:s0 + Ts], lo2[s0:s0 + Ts],
           hi2[s0:s0 + Ts], table3, bbox3, phi))
@@ -652,6 +682,7 @@ def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
                 _make_list_t_bwd_kernel(tb_x, block_h, block_w, tbs, kc, mtb),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((nch, COLS, kc), jnp.float32),
+                compiler_params=_cparams(),
                 interpret=_interpret(),
             )(tlst.reshape(-1), tcnt, table3, bbox3,
               _phi_block(block_h, block_w), vout_pad)
@@ -671,6 +702,7 @@ def list_backward(proj: Projected, colors: jax.Array, opacity: jax.Array,
             _make_list_bwd_kernel(tb_x, block_h, block_w, tbs, kc, mtb),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((Np, COLS), jnp.float32),
+            compiler_params=_cparams(),
             interpret=_interpret(),
         )(tlst.reshape(-1), tcnt, table, bbox,
           _phi_block(block_h, block_w), vout_pad)

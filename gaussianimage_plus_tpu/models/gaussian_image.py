@@ -75,8 +75,12 @@ class GaussianConfig:
     # occupancy-adaptive scatter, which measured faster on v5e (TPU XLA
     # scalar gathers serialize; see EXPERIMENTS.md round-3 A/B).
     grad_gather_tiles: int = struct.field(pytree_node=False, default=0)
-    # rasterizer backend: 'pallas' (fused TPU kernels), 'xla' (pure-JAX tiled
-    # path), or 'auto' (pallas on TPU, xla elsewhere)
+    # rasterizer backend: 'pallas' (fused binned TPU kernels), 'xla'
+    # (pure-JAX tiled path), 'dense'/'sweep'/'list'/'list_t' (the cap-free
+    # chunk-family kernels), or 'auto' — resolved by ``resolve_backend``:
+    # lane-major chunk-list ('list_t') on TPU when the tile grid divides its
+    # tile-block size (measured -29% step time at Kodak, -41% at 2K vs
+    # binned, r5_perf 2026-08-20), binned 'pallas' otherwise, 'xla' off-TPU.
     raster_backend: str = struct.field(pytree_node=False, default="auto")
     # PSD handling: 'prune' = reference behavior (drop non-PSD points,
     # non_semi_definite_prune); 'clamp' = quality mode — project the effective
@@ -185,6 +189,29 @@ def project(params: GaussianParams, state_active: jax.Array, bound: jax.Array,
                          num_tiles_hit=jnp.where(valid, proj.num_tiles_hit, 0))
 
 
+def resolve_backend(cfg: GaussianConfig) -> str:
+    """Resolve ``raster_backend='auto'`` to a concrete backend (static,
+    trace-time decision — shapes and platform are compile-time constants).
+
+    On TPU: the lane-major chunk-list pair ('list_t') whenever the tile
+    grid divides its tile-block size — it beat the binned pair at every
+    measured point (Kodak 7.31 vs 10.32 ms/step, 2K 51.5 vs 87.9;
+    results/r5_perf.jsonl) with bitwise-identical 600-step quality.
+    Falls back to the binned 'pallas' kernels for odd tile grids (the
+    list kernels then run tbs=1 and lose their streaming advantage), and
+    to the tiled XLA path off-TPU (CPU interpret-mode Pallas is test-only).
+    """
+    backend = cfg.raster_backend
+    if backend != "auto":
+        return backend
+    if jax.default_backend() != "tpu":
+        return "xla"
+    from ..core.gaussian2d import tile_bounds_for
+    from ..kernels.raster_list_pallas import TB_T
+    tb_x, tb_y = tile_bounds_for(cfg.H, cfg.W, cfg.block_h, cfg.block_w)
+    return "list_t" if (tb_x * tb_y) % TB_T == 0 else "pallas"
+
+
 def render(state: GaussianState, cfg: GaussianConfig,
            cov_override: Optional[jax.Array] = None,
            means_override: Optional[jax.Array] = None,
@@ -199,9 +226,7 @@ def render(state: GaussianState, cfg: GaussianConfig,
                    cov_override=cov_override, means_override=means_override)
     colors = colors_override if colors_override is not None else colors_of(state.params, cfg)
     opacity = jnp.ones((cfg.max_num_points,), proj.xys.dtype)  # fixed 1 (:58)
-    backend = cfg.raster_backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    backend = resolve_backend(cfg)
     if backend == "dense":
         # binning-free differentiable path (no per-tile cap; quality mode)
         from ..kernels.raster_dense_pallas import rasterize_dense

@@ -250,8 +250,9 @@ def _train_chunk_impl(ts: TrainState, gt: jax.Array, cfg: GaussianConfig,
     # (list backend id-order vs Morton: 93 vs 9.4 ms/step, r5_perf) — keep
     # it sorted for them regardless of the flag. Exact: params + opt
     # moments permute together, blending is order-free.
-    if tcfg.morton_resort or cfg.raster_backend in ("sweep", "list",
-                                                    "list_t"):
+    from ..models.gaussian_image import resolve_backend
+    if tcfg.morton_resort or resolve_backend(cfg) in ("sweep", "list",
+                                                      "list_t"):
         ts = _morton_resort(ts, cfg)
 
     def body(carry, _):

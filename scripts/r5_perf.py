@@ -298,16 +298,21 @@ def main(argv):
             gt2 = jnp.asarray(np.kron(rng2.uniform(0, 1, (84, 128, 3)),
                                       np.ones((16, 16, 1)))[:H2, :W2]
                               .astype(np.float32))
-            cfg2l = GaussianConfig(H=H2, W=W2, max_num_points=N2,
-                                   tile_cap=256, raster_backend="list")
+            # lane-major (list_t) only: the row-major list bwd's [Np, COLS]
+            # output pads COLS 16 -> 128 lanes under T(8,128), so XLA's
+            # scoped-VMEM stack wants 17.16M > its 16M cap at T=10752
+            # (measured r5; the [nch, COLS, kc=128] lane-major output has a
+            # native 128 minor dim and no such blowup).
+            cfg2t = GaussianConfig(H=H2, W=W2, max_num_points=N2,
+                                   tile_cap=256, raster_backend="list_t")
             try:
                 rlp.LMAX = 8  # 16k tiles: keep the SMEM list table ~0.5 MB
-                dt2, _ = marginal_step(cfg2l, tcfg_m, gt2, N2, lens=(20, 60))
-                print(json.dumps({"config": "train_list_2k", "train_step_ms":
-                                  round(dt2 * 1e3, 3),
+                dt2, _ = marginal_step(cfg2t, tcfg_m, gt2, N2, lens=(20, 60))
+                print(json.dumps({"config": "train_list_t_2k",
+                                  "train_step_ms": round(dt2 * 1e3, 3),
                                   "binned_2k_ref_ms": 87.9}), flush=True)
             except Exception as e:
-                print(json.dumps({"config": "train_list_2k",
+                print(json.dumps({"config": "train_list_t_2k",
                                   "error": f"{type(e).__name__}: {e}"[-4000:]}),
                       flush=True)
             finally:
