@@ -237,3 +237,49 @@ class TestListBackend:
                                backend="list")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
+
+
+class TestBackendResolution:
+    """resolve_backend ('auto' semantics) + grid-aware lmax defaults."""
+
+    def test_auto_resolves_xla_off_tpu(self):
+        from gaussianimage_plus_tpu.models import GaussianConfig, resolve_backend
+        cfg = GaussianConfig(H=64, W=64, max_num_points=32)
+        assert jax.default_backend() == "cpu"
+        assert resolve_backend(cfg) == "xla"
+
+    def test_explicit_backends_pass_through(self):
+        from gaussianimage_plus_tpu.models import GaussianConfig, resolve_backend
+        for b in ("pallas", "xla", "dense", "sweep", "list", "list_t"):
+            cfg = GaussianConfig(H=64, W=64, max_num_points=32,
+                                 raster_backend=b)
+            assert resolve_backend(cfg) == b
+
+    def test_auto_divisibility_guard_on_tpu(self, monkeypatch):
+        # fake a TPU platform: list_t only when T % TB_T == 0
+        from gaussianimage_plus_tpu.models import GaussianConfig
+        from gaussianimage_plus_tpu.models import gaussian_image as gi
+        from gaussianimage_plus_tpu.kernels.raster_list_pallas import TB_T
+        monkeypatch.setattr(gi.jax, "default_backend", lambda: "tpu")
+        cfg_even = GaussianConfig(H=512, W=768, max_num_points=64)   # T=1536
+        assert 1536 % TB_T == 0
+        assert gi.resolve_backend(cfg_even) == "list_t"
+        cfg_odd = GaussianConfig(H=48, W=48, max_num_points=64)      # T=9
+        assert 9 % TB_T != 0
+        assert gi.resolve_backend(cfg_odd) == "pallas"
+
+    def test_grid_aware_lmax_default(self):
+        from gaussianimage_plus_tpu.kernels.raster_list_pallas import (
+            BIG_T, LMAX, LMAX_BIG, _default_lmax)
+        assert _default_lmax(512, 768, 16, 16) == LMAX        # T=1536
+        assert _default_lmax(1344, 2040, 16, 16) == LMAX_BIG  # T=10752
+        assert BIG_T <= 10752
+
+    def test_trainer_resorts_through_auto(self, monkeypatch):
+        # the id-order trap: auto->list_t must trigger the Morton resort
+        from gaussianimage_plus_tpu.models import GaussianConfig
+        from gaussianimage_plus_tpu.models import gaussian_image as gi
+        from gaussianimage_plus_tpu.train import trainer as tr
+        monkeypatch.setattr(gi.jax, "default_backend", lambda: "tpu")
+        cfg = GaussianConfig(H=512, W=768, max_num_points=64)
+        assert gi.resolve_backend(cfg) in ("sweep", "list", "list_t")
